@@ -1,0 +1,466 @@
+"""Per-document layout-aware main-content extraction core.
+
+HTML bytes -> DOM block list -> deterministic flow layout (box per
+block) -> detection proposals (class-score vectors from tag priors +
+link-density / text-density / keyword heuristics, in the spirit of
+trafilatura/readability boilerplate stripping) -> the reference's
+post-processing chain, numerically reproduced (two-stage top-k ->
+confidence threshold -> per-class IoU NMS -> 'abandon' class filter ->
+reading-order sort) -> (extracted_text, spans).
+
+This module is pure Python/NumPy and **shared verbatim** by the
+single-process oracle (oracle.py) and the Spark Arrow kernel
+(pipeline.py): per-document computation depends only on the document's
+own bytes — never on batch composition — which is the determinism
+contract that makes extracted text byte-identical at any parallelism.
+
+Reference semantics cited as file:line in /root/reference:
+- proposal -> Results flow: engine/predictor.py:238-275,
+  models/yolov10/predict.py:8-38
+- detection row contract (x1,y1,x2,y2,conf,cls): utils/ops.py:204-207
+- crop-per-region sink analog (our text spans): engine/results.py:366-386
+- JSON summary rounding round(5): engine/results.py:388-430
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+import numpy as np
+
+from .kernels import postprocess, xyxy2xywh
+from .labelmaps import ABANDON_CLS, DOCSTRUCTBENCH_10, NC
+
+KERNEL_VERSION = "1.0.0"
+
+# ---------------------------------------------------------------------------
+# 1. HTML -> blocks
+# ---------------------------------------------------------------------------
+
+BLOCK_TAGS = {
+    "h1", "h2", "h3", "h4", "h5", "h6",
+    "p", "li", "blockquote", "pre", "figcaption", "caption",
+}
+CONTAINER_BLOCK_TAGS = {"table", "figure"}  # folded into one block each
+BOILER_CONTAINERS = {"nav", "header", "footer", "aside", "form"}
+DROP_TAGS = {"script", "style", "noscript", "template", "svg", "head"}
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _norm_ws(s: str) -> str:
+    return _WS_RE.sub(" ", s).strip()
+
+
+@dataclass
+class Block:
+    idx: int
+    tag: str
+    tag_path: str
+    depth: int
+    text: str
+    link_chars: int = 0
+    total_chars: int = 0
+    in_boiler: bool = False
+    # filled by layout:
+    x1: float = 0.0
+    y1: float = 0.0
+    x2: float = 0.0
+    y2: float = 0.0
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / max(self.total_chars, 1)
+
+
+@dataclass
+class _OpenBlock:
+    tag: str
+    tag_path: str
+    depth: int
+    in_boiler: bool
+    parts: list[str] = field(default_factory=list)
+    link_chars: int = 0
+    total_chars: int = 0
+
+
+class _BlockParser(HTMLParser):
+    """Streaming HTML -> flat block list (single pass, no DOM build —
+    bounded memory per document regardless of page size)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._stack: list[str] = []
+        self._drop_depth = 0
+        self._boiler_depth = 0
+        self._link_depth = 0
+        self._open: _OpenBlock | None = None
+        self._container: str | None = None  # 'table' | 'figure'
+        self._container_depth = 0
+
+    # -- helpers ----------------------------------------------------------
+    def _path(self) -> str:
+        return "/".join(self._stack)
+
+    def _begin_block(self, tag: str) -> None:
+        self._open = _OpenBlock(
+            tag=tag,
+            tag_path=self._path(),
+            depth=len(self._stack),
+            in_boiler=self._boiler_depth > 0,
+        )
+
+    def _end_block(self) -> None:
+        ob = self._open
+        self._open = None
+        if ob is None:
+            return
+        text = _norm_ws("".join(ob.parts))
+        if not text and ob.tag != "figure":
+            return
+        self.blocks.append(
+            Block(
+                idx=len(self.blocks),
+                tag=ob.tag,
+                tag_path=ob.tag_path,
+                depth=ob.depth,
+                text=text,
+                link_chars=ob.link_chars,
+                total_chars=ob.total_chars,
+                in_boiler=ob.in_boiler,
+            )
+        )
+
+    # -- parser events ------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "br":
+            if self._open is not None:
+                self._open.parts.append(" ")
+            return
+        if tag == "img":
+            alt = _norm_ws(dict(attrs).get("alt") or "")
+            if self._container == "figure" and self._open is not None and alt:
+                self._open.parts.append(alt)
+                self._open.total_chars += len(alt)
+            return
+        self._stack.append(tag)
+        if tag in BOILER_CONTAINERS:
+            self._boiler_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+        if self._container is not None:
+            if tag == "figcaption" and self._container == "figure":
+                # figcaption escapes the figure container as its own block
+                self._container = None
+                self._container_depth = 0
+                self._end_block()
+                self._begin_block(tag)
+            elif self._container == "table" and tag in {"tr"}:
+                if self._open is not None:
+                    self._open.parts.append(" ║ ")  # row separator
+            elif self._container == "table" and tag in {"td", "th"}:
+                if self._open is not None:
+                    self._open.parts.append(" | ")
+            return
+        if tag in CONTAINER_BLOCK_TAGS:
+            if self._open is not None:
+                self._end_block()
+            self._container = tag
+            self._container_depth = len(self._stack)
+            self._begin_block(tag)
+        elif tag in BLOCK_TAGS:
+            if self._open is not None:
+                self._end_block()
+            self._begin_block(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if tag in {"br", "img"}:
+            return
+        # pop stack down past the matching open tag, if present
+        if tag in self._stack:
+            while self._stack:
+                t = self._stack.pop()
+                if t in BOILER_CONTAINERS:
+                    self._boiler_depth = max(0, self._boiler_depth - 1)
+                if t == "a":
+                    self._link_depth = max(0, self._link_depth - 1)
+                if t == tag:
+                    break
+        if self._container is not None:
+            if tag == self._container and len(self._stack) < self._container_depth:
+                self._container = None
+                self._container_depth = 0
+                self._end_block()
+            return
+        if tag in BLOCK_TAGS and self._open is not None and self._open.tag == tag:
+            self._end_block()
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth or self._open is None:
+            return
+        self._open.parts.append(data)
+        n = len(_norm_ws(data))
+        self._open.total_chars += n
+        if self._link_depth:
+            self._open.link_chars += n
+
+    def close(self) -> None:
+        super().close()
+        self._end_block()
+
+
+def parse_blocks(html: bytes | str) -> list[Block]:
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    p = _BlockParser()
+    p.feed(html)
+    p.close()
+    return p.blocks
+
+
+# ---------------------------------------------------------------------------
+# 2. deterministic flow layout
+# ---------------------------------------------------------------------------
+
+PAGE_W = np.float32(960.0)
+MARGIN = np.float32(60.0)
+CONTENT_X2 = np.float32(900.0)
+BLOCK_GAP = np.float32(12.0)
+
+# (line height, chars per line) per tag — a crude but fully
+# deterministic text-flow model standing in for a renderer.
+_TAG_METRICS: dict[str, tuple[float, float]] = {
+    "h1": (40.0, 40.0),
+    "h2": (32.0, 48.0),
+    "h3": (26.0, 56.0),
+    "h4": (22.0, 64.0),
+    "h5": (20.0, 72.0),
+    "h6": (18.0, 80.0),
+    "p": (18.0, 90.0),
+    "li": (18.0, 84.0),
+    "blockquote": (18.0, 80.0),
+    "pre": (16.0, 72.0),
+    "figcaption": (16.0, 88.0),
+    "caption": (16.0, 88.0),
+    "table": (22.0, 100.0),
+    "figure": (240.0, 1e9),  # fixed-height media box
+}
+
+
+def layout_blocks(blocks: list[Block]) -> tuple[np.float32, np.float32]:
+    """Assign xyxy page geometry by simulated vertical flow.  Pure
+    float32 arithmetic (determinism pin).  Returns (page_w, page_h)."""
+    y = np.float32(MARGIN)
+    for b in blocks:
+        lh, cpl = _TAG_METRICS.get(b.tag, (18.0, 90.0))
+        n_lines = max(1, int(np.ceil(np.float32(len(b.text)) / np.float32(cpl))))
+        h = np.float32(lh) * np.float32(n_lines)
+        indent = np.float32(12.0) * np.float32(min(b.depth, 8))
+        b.x1 = float(MARGIN + indent)
+        b.x2 = float(CONTENT_X2)
+        b.y1 = float(y)
+        b.y2 = float(y + h)
+        y = np.float32(y + h + BLOCK_GAP)
+    return PAGE_W, np.float32(y + MARGIN)
+
+
+# ---------------------------------------------------------------------------
+# 3. proposal generation (the "detector")
+# ---------------------------------------------------------------------------
+
+JITTERS_PER_BLOCK = 3  # anchor fan-out; NMS collapses the jittered dups
+
+_TAG_CLASS_PRIOR: dict[str, int] = {
+    "h1": 0,            # title
+    "h2": 0, "h3": 0, "h4": 0, "h5": 0, "h6": 0,
+    "p": 1,             # plain text
+    "li": 1,
+    "blockquote": 1,
+    "figure": 3,        # figure
+    "figcaption": 4,    # figure_caption
+    "table": 5,         # table
+    "caption": 6,       # table_caption
+    "pre": 8,           # isolate_formula
+}
+
+
+def _sigmoid32(x: np.ndarray) -> np.ndarray:
+    return (1.0 / (1.0 + np.exp(-x.astype(np.float32)))).astype(np.float32)
+
+
+def _block_logits(b: Block) -> np.ndarray:
+    """Class logits for one block from tag prior + boilerplate
+    heuristics (link-density / text-density / tag-path — the
+    readability-spirit features of the north star)."""
+    logits = np.full(NC, -4.0, dtype=np.float32)
+    prior = _TAG_CLASS_PRIOR.get(b.tag, 1)
+    logits[prior] = np.float32(3.0)
+    ld = np.float32(b.link_density)
+    text_len = np.float32(min(len(b.text), 2000))
+    # text-density proxy: chars per layout line
+    density = text_len / np.float32(max((b.y2 - b.y1) / 18.0, 1.0))
+    # boilerplate evidence
+    abandon = np.float32(-3.0)
+    if b.in_boiler:
+        abandon += np.float32(4.5)
+    abandon += np.float32(6.0) * ld
+    if len(b.text) < 25 and ld > 0.3:
+        abandon += np.float32(1.5)
+    low = b.text.lower()
+    for kw in ("cookie", "subscribe", "copyright", "privacy", "all rights reserved"):
+        if kw in low:
+            abandon += np.float32(1.0)
+    logits[ABANDON_CLS] = abandon
+    # boilerplate evidence suppresses the content prior hard enough to
+    # fall under CONF_THRES=0.25 (sigmoid(3.0 - 4.5) ~= 0.18): the class
+    # filter only drops abandon-class detections, so the content-class
+    # score of a boilerplate block must die at the confidence mask.
+    if b.in_boiler or ld > 0.5:
+        logits[prior] -= np.float32(4.5)
+    # very short plain-text blocks are weak evidence
+    if prior == 1 and len(b.text) < 15:
+        logits[prior] -= np.float32(1.0)
+    # table-ish density bumps table score
+    if b.tag == "table":
+        logits[5] += np.float32(min(float(density) / 200.0, 1.0))
+    return logits
+
+
+def _jitter(b: Block, j: int) -> tuple[float, float]:
+    """Deterministic sub-pixel-ish jitter for duplicate anchors, derived
+    from the block's own content hash (never from batch state)."""
+    if j == 0:
+        return 0.0, 0.0
+    h = hashlib.md5(f"{b.idx}:{j}:{b.text[:64]}".encode()).digest()
+    w = max(b.x2 - b.x1, 1.0)
+    hh = max(b.y2 - b.y1, 1.0)
+    dx = (h[0] / 255.0 - 0.5) * 0.04 * w
+    dy = (h[1] / 255.0 - 0.5) * 0.04 * hh
+    return float(np.float32(dx)), float(np.float32(dy))
+
+
+def proposals(blocks: list[Block]) -> tuple[np.ndarray, np.ndarray]:
+    """Emit (A, 4) xywh anchor boxes and (A, nc) class scores,
+    A = len(blocks) * JITTERS_PER_BLOCK.  Anchor index // JITTERS_PER_BLOCK
+    recovers the source block (stable determinism contract)."""
+    a = len(blocks) * JITTERS_PER_BLOCK
+    boxes = np.zeros((a, 4), dtype=np.float32)
+    scores = np.zeros((a, NC), dtype=np.float32)
+    for b in blocks:
+        logits = _block_logits(b)
+        base = _sigmoid32(logits)
+        xyxy = np.array([[b.x1, b.y1, b.x2, b.y2]], dtype=np.float32)
+        xywh = xyxy2xywh(xyxy)[0]
+        for j in range(JITTERS_PER_BLOCK):
+            i = b.idx * JITTERS_PER_BLOCK + j
+            dx, dy = _jitter(b, j)
+            boxes[i, 0] = xywh[0] + dx
+            boxes[i, 1] = xywh[1] + dy
+            boxes[i, 2] = xywh[2]
+            boxes[i, 3] = xywh[3]
+            scores[i] = base * np.float32(1.0 - 0.1 * j)
+    return boxes, scores
+
+
+# ---------------------------------------------------------------------------
+# 4. full document extraction
+# ---------------------------------------------------------------------------
+
+CONF_THRES = 0.25   # predict default, engine/model.py:431
+IOU_THRES = 0.7     # cfg/default.yaml:51
+MAX_DET = 300       # cfg/default.yaml:52
+SEPARATOR = "\n\n"
+
+
+@dataclass
+class Region:
+    region_id: int
+    cls: int
+    name: str
+    conf: float
+    x1: float
+    y1: float
+    x2: float
+    y2: float
+    start: int
+    end: int
+    text: str
+
+
+def extract_document(html: bytes | str) -> tuple[str, list[Region], dict]:
+    """HTML -> (extracted_text, regions-in-reading-order, meta).
+
+    The text of each surviving region, joined by ``SEPARATOR``, is the
+    byte-identity payload; spans carry offsets into it.  ``meta`` holds
+    page geometry + counts for lineage.
+    """
+    blocks = parse_blocks(html)
+    page_w, page_h = layout_blocks(blocks)
+    boxes_xywh, class_scores = proposals(blocks)
+    dets = postprocess(
+        boxes_xywh,
+        class_scores,
+        conf_thres=CONF_THRES,
+        iou_thres=IOU_THRES,
+        max_det=MAX_DET,
+        drop_classes=(ABANDON_CLS,),
+    )
+    # one region per source block: the two-stage top-k is multi-label
+    # (an anchor may emit 2 classes above threshold) and jittered
+    # anchors may survive NMS on tiny boxes — dedup by block keeping the
+    # first hit in reading order (deterministic).
+    seen: set[int] = set()
+    regions: list[Region] = []
+    pieces: list[str] = []
+    cursor = 0
+    for det in dets:
+        block_i = int(det["anchor"]) // JITTERS_PER_BLOCK
+        if block_i in seen:
+            continue
+        seen.add(block_i)
+        b = blocks[block_i]
+        if not b.text:
+            continue
+        start = cursor if not pieces else cursor + len(SEPARATOR)
+        end = start + len(b.text)
+        regions.append(
+            Region(
+                region_id=len(regions),
+                cls=int(det["cls"]),
+                name=DOCSTRUCTBENCH_10[int(det["cls"])],
+                conf=round(float(det["conf"]), 5),  # summary(decimals=5), results.py:388-430
+                x1=round(float(det["x1"]), 5),
+                y1=round(float(det["y1"]), 5),
+                x2=round(float(det["x2"]), 5),
+                y2=round(float(det["y2"]), 5),
+                start=start,
+                end=end,
+                text=b.text,
+            )
+        )
+        pieces.append(b.text)
+        cursor = end
+    extracted = SEPARATOR.join(pieces)
+    meta = {
+        "page_w": float(page_w),
+        "page_h": float(page_h),
+        "n_blocks": len(blocks),
+        "n_proposals": int(len(boxes_xywh)),
+        "n_regions": len(regions),
+        "kernel_version": KERNEL_VERSION,
+    }
+    return extracted, regions, meta

@@ -1,0 +1,274 @@
+"""The Spark extraction job.
+
+Plan (SURVEY §3.1 Spark rendering):
+
+    scan(pages) -> select(url, html)            # column pruning, P3
+      -> withColumn(part_id = pmod(xxhash64(url), n_buckets))
+      -> [resume] LEFT ANTI JOIN manifest ON part_id   # exactly-once, P13
+      -> repartition(P, part_id)                # explicit shuffle, P8
+      -> mapInPandas(extract_kernel)            # fused Arrow kernel, P1/P11
+      -> write parquet partitioned by part_id   # Iceberg-analog sink
+    + per-task lineage rows via accumulator -> lineage parquet
+    + manifest rows (one per completed bucket) -> manifest parquet
+
+At 100 TB this maps 1:1 onto an Iceberg table: ``part_id`` becomes the
+``bucket(url)`` partition transform, the manifest+data write becomes a
+single atomic snapshot commit, and resume prunes scanned files by
+partition.  Parquet stands in here because no Iceberg runtime jar is
+available in the sandbox; the logic (anti-join resume keyed on bucket,
+idempotent re-run) is identical.
+
+Kernel determinism: per-document computation uses only the document's
+own bytes (extract.extract_document), so outputs are byte-identical at
+any parallelism / batch composition — the cross-parallelism test pins
+this (SURVEY §5.6).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.accumulators import AccumulatorParam
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import KERNEL_VERSION, extract_document
+
+SPANS_DDL = (
+    "array<struct<region_id:int,cls:int,name:string,conf:double,"
+    "x1:double,y1:double,x2:double,y2:double,start:int,end:int>>"
+)
+OUTPUT_DDL = (
+    "url string, part_id int, extracted_text string, "
+    f"spans {SPANS_DDL}, n_regions int, n_blocks int, page_h double"
+)
+
+DEFAULT_BUCKETS = 64  # >> cores locally; thousands on a real cluster
+
+
+class _ListAccum(AccumulatorParam):
+    """Accumulates small per-task lineage dicts to the driver (one row
+    per Arrow-kernel task — tiny even at 10^5 partitions)."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
+
+
+def _extract_batches(batches, lineage_acc=None):
+    """mapInPandas kernel: iterator of Arrow batches of (url, html,
+    part_id) -> iterator of output batches.  One fused kernel per task,
+    mirroring the reference's single-predictor-per-worker pattern
+    (engine/predictor.py:112,218)."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark import TaskContext  # noqa: PLC0415
+
+    t_start = time.time()
+    n_docs = 0
+    n_regions_total = 0
+    bytes_in = 0
+    part_ids = set()
+    for pdf in batches:
+        rows = {
+            "url": [], "part_id": [], "extracted_text": [], "spans": [],
+            "n_regions": [], "n_blocks": [], "page_h": [],
+        }
+        for url, html, part_id in zip(
+            pdf["url"].to_numpy(), pdf["html"].to_numpy(), pdf["part_id"].to_numpy()
+        ):
+            raw = bytes(html) if html is not None else b""
+            text, regions, meta = extract_document(raw)
+            rows["url"].append(url)
+            rows["part_id"].append(int(part_id))
+            rows["extracted_text"].append(text)
+            rows["spans"].append(
+                [
+                    {
+                        "region_id": r.region_id, "cls": r.cls, "name": r.name,
+                        "conf": r.conf, "x1": r.x1, "y1": r.y1, "x2": r.x2,
+                        "y2": r.y2, "start": r.start, "end": r.end,
+                    }
+                    for r in regions
+                ]
+            )
+            rows["n_regions"].append(meta["n_regions"])
+            rows["n_blocks"].append(meta["n_blocks"])
+            rows["page_h"].append(meta["page_h"])
+            n_docs += 1
+            n_regions_total += meta["n_regions"]
+            bytes_in += len(raw)
+            part_ids.add(int(part_id))
+        yield pd.DataFrame(rows)
+    if lineage_acc is not None and n_docs > 0:  # skip empty tasks
+        tc = TaskContext.get()
+        lineage_acc.add(
+            [
+                {
+                    "task_partition_id": tc.partitionId() if tc else -1,
+                    "part_ids": sorted(part_ids),
+                    "n_docs": n_docs,
+                    "n_regions": n_regions_total,
+                    "bytes_in": bytes_in,
+                    "t_start": t_start,
+                    "t_end": time.time(),
+                    "kernel_version": KERNEL_VERSION,
+                }
+            ]
+        )
+
+
+def with_part_id(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Bucket assignment — the Iceberg ``bucket(n, url)`` transform
+    analog.  xxhash64 is JVM-side and stable across runs."""
+    return df.withColumn(
+        "part_id", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def extract_pages(
+    df: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    num_partitions: int | None = None,
+    lineage_acc=None,
+) -> DataFrame:
+    """Core transform: prune columns, bucket, shuffle, run the fused
+    Arrow kernel.  Returns the extraction DataFrame (lazy)."""
+    pruned = df.select("url", "html")  # never ship text/lang into the kernel (P3)
+    bucketed = with_part_id(pruned, n_buckets)
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    shuffled = bucketed.repartition(parts, "part_id")
+    return shuffled.mapInPandas(
+        lambda it: _extract_batches(it, lineage_acc), schema=OUTPUT_DDL
+    )
+
+
+# ---------------------------------------------------------------------------
+# job runner: manifest + lineage + exactly-once resume
+# ---------------------------------------------------------------------------
+
+
+def _manifest_path(output_path: str) -> str:
+    return os.path.join(output_path, "_manifest")
+
+
+def _lineage_path(output_path: str) -> str:
+    return os.path.join(output_path, "_lineage")
+
+
+def data_path(output_path: str) -> str:
+    return os.path.join(output_path, "data")
+
+
+def completed_buckets(spark: SparkSession, output_path: str) -> DataFrame | None:
+    mp = _manifest_path(output_path)
+    try:
+        return spark.read.parquet(mp).select("part_id").distinct()
+    except Exception:
+        return None
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    num_partitions: int | None = None,
+    bucket_filter=None,
+) -> dict:
+    """Run (or resume) the extraction job.
+
+    Resume semantics (P13): buckets listed in the manifest are skipped
+    via a broadcast LEFT ANTI JOIN — re-running after a partial failure
+    processes only unfinished buckets and never duplicates a row.
+    ``bucket_filter`` (a Column predicate on part_id) exists for the
+    kill/resume test to simulate a mid-job crash.
+    """
+    sc = spark.sparkContext
+    lineage_acc = sc.accumulator([], _ListAccum())
+
+    bucketed = with_part_id(pages.select("url", "html"), n_buckets)
+    done = completed_buckets(spark, output_path)
+    if done is not None:
+        bucketed = bucketed.join(F.broadcast(done), "part_id", "left_anti")
+    if bucket_filter is not None:
+        bucketed = bucketed.filter(bucket_filter)
+
+    parts = num_partitions or sc.defaultParallelism
+    out = bucketed.repartition(parts, "part_id").mapInPandas(
+        lambda it: _extract_batches(it, lineage_acc), schema=OUTPUT_DDL
+    )
+    t0 = time.time()
+    out.write.mode("append").partitionBy("part_id").parquet(data_path(output_path))
+    wall = time.time() - t0
+
+    # lineage + manifest (post-write: in Iceberg these rows join the
+    # same atomic snapshot commit as the data files)
+    lineage_rows = list(lineage_acc.value)
+    n_docs = sum(r["n_docs"] for r in lineage_rows)
+    processed = sorted({p for r in lineage_rows for p in r["part_ids"]})
+    if lineage_rows:
+        spark.createDataFrame(
+            [
+                (
+                    r["task_partition_id"], r["part_ids"], r["n_docs"],
+                    r["n_regions"], r["bytes_in"], float(r["t_start"]),
+                    float(r["t_end"]), r["kernel_version"],
+                )
+                for r in lineage_rows
+            ],
+            schema=(
+                "task_partition_id int, part_ids array<int>, n_docs long, "
+                "n_regions long, bytes_in long, t_start double, t_end double, "
+                "kernel_version string"
+            ),
+        ).write.mode("append").parquet(_lineage_path(output_path))
+    if processed:
+        spark.createDataFrame(
+            [(p, KERNEL_VERSION) for p in processed],
+            schema="part_id int, kernel_version string",
+        ).write.mode("append").parquet(_manifest_path(output_path))
+    return {
+        "n_docs": n_docs,
+        "n_buckets_processed": len(processed),
+        "wall_s": wall,
+        "docs_per_sec": n_docs / wall if wall > 0 else 0.0,
+    }
+
+
+def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
+    return spark.read.parquet(data_path(output_path))
+
+
+# ---------------------------------------------------------------------------
+# skew-aware host aggregation (salting exemplar, P9)
+# ---------------------------------------------------------------------------
+
+
+def host_stats(pages: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Per-host page counts/bytes over a zipf-skewed host distribution.
+
+    Two-stage salted aggregation: stage 1 groups on (host, salt) so the
+    hot host's rows spread over ``n_salts`` reducers (map-side partial
+    aggregation still applies); stage 2 re-aggregates the tiny
+    (host, salt) partials.  This is the explicit skew treatment the
+    north rule asks for; AQE skew-join handling is the backstop.
+    """
+    host = F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host")
+    salted = pages.select(
+        host,
+        F.length("html").alias("html_bytes"),
+        F.pmod(F.xxhash64("url"), F.lit(n_salts)).alias("salt"),
+    )
+    partial = salted.groupBy("host", "salt").agg(
+        F.count("*").alias("c"), F.sum("html_bytes").alias("b")
+    )
+    return (
+        partial.groupBy("host")
+        .agg(F.sum("c").alias("n_pages"), F.sum("b").alias("total_html_bytes"))
+        .orderBy(F.desc("n_pages"), "host")
+    )

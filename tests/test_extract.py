@@ -1,0 +1,133 @@
+"""Tests for the HTML block parser, layout, features and the
+per-document extraction core (no Spark)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from doclayout_yolo_spark.extract import (
+    extract_document,
+    layout_blocks,
+    parse_blocks,
+)
+from doclayout_yolo_spark.fixtures import generate_pages_pandas, make_page
+from doclayout_yolo_spark.textfeat import (
+    N_FEATURES,
+    feature_vector,
+    keyword_scores,
+    text_stats,
+)
+
+HTML = b"""<!DOCTYPE html><html><head><title>T</title>
+<script>junk()</script></head><body>
+<nav><ul><li><a href="/a">a</a></li><li><a href="/b">b</a></li></ul></nav>
+<h1>Main Title Here</h1>
+<p>First paragraph with enough words to be real content for sure.</p>
+<ul><li>item one text</li><li>item two text</li></ul>
+<figure><img src="x.png" alt="a diagram"/><figcaption>Figure 1: caption text</figcaption></figure>
+<table><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>
+<footer><p>copyright <a href="/p">privacy</a></p></footer>
+</body></html>"""
+
+
+def test_parse_blocks_structure():
+    blocks = parse_blocks(HTML)
+    tags = [b.tag for b in blocks]
+    assert "h1" in tags and "p" in tags and "figcaption" in tags and "table" in tags
+    h1 = next(b for b in blocks if b.tag == "h1")
+    assert h1.text == "Main Title Here"
+    assert not h1.in_boiler
+    nav_blocks = [b for b in blocks if b.in_boiler]
+    assert nav_blocks, "nav/footer blocks must be flagged boilerplate"
+    table = next(b for b in blocks if b.tag == "table")
+    assert "a | b" in table.text and "║" in table.text
+    # script text never leaks
+    assert not any("junk" in b.text for b in blocks)
+
+
+def test_link_density():
+    blocks = parse_blocks(
+        b"<body><p><a href='/x'>linked words here</a> and free text</p></body>"
+    )
+    b = blocks[0]
+    assert 0.4 < b.link_density < 0.8
+
+
+def test_layout_is_monotonic_flow():
+    blocks = parse_blocks(HTML)
+    _, page_h = layout_blocks(blocks)
+    ys = [b.y1 for b in blocks]
+    assert ys == sorted(ys)
+    assert all(b.y2 <= float(page_h) for b in blocks)
+    assert all(b.x2 > b.x1 and b.y2 > b.y1 for b in blocks)
+
+
+def test_extract_strips_boilerplate_keeps_content():
+    text, regions, meta = extract_document(HTML)
+    assert "Main Title Here" in text
+    assert "First paragraph" in text
+    assert "Figure 1: caption text" in text
+    assert "copyright" not in text and "privacy" not in text
+    names = {r.name for r in regions}
+    assert "title" in names and "plain text" in names
+    assert "abandon" not in names
+
+
+def test_span_offsets_exact():
+    text, regions, _ = extract_document(HTML)
+    for r in regions:
+        assert text[r.start : r.end] == r.text
+
+
+def test_reading_order_of_regions():
+    text, regions, _ = extract_document(HTML)
+    ys = [r.y1 for r in regions]
+    assert ys == sorted(ys)  # pure vertical flow layout => y-sorted
+
+
+def test_extraction_is_deterministic():
+    a = extract_document(HTML)
+    b = extract_document(HTML)
+    assert a[0] == b[0]
+    assert [vars(r) for r in a[1]] == [vars(r) for r in b[1]]
+
+
+def test_degenerate_inputs():
+    for raw in (b"", b"plain text no tags", b"<body><p></p></body>", b"\xff\xfe junk"):
+        text, regions, meta = extract_document(raw)
+        assert isinstance(text, str)
+        assert meta["n_regions"] == len(regions)
+
+
+def test_malformed_html_no_crash():
+    text, regions, _ = extract_document(
+        b"<body><p>unclosed <div><h1>nested wrong</p></h1><p>more text here</body>"
+    )
+    assert isinstance(text, str)
+
+
+def test_fixture_pages_roundtrip():
+    pdf = generate_pages_pandas(10)
+    assert list(pdf.columns) == ["url", "warc_ts", "html", "text", "lang"]
+    # regenerating the same url is byte-stable
+    h1, t1, l1 = make_page(pdf["url"][3])
+    assert h1 == pdf["html"][3] and t1 == pdf["text"][3] and l1 == pdf["lang"][3]
+    for html in pdf["html"]:
+        text, regions, meta = extract_document(html)
+        assert meta["n_regions"] > 0
+        assert "subscribe" not in text and "copyright" not in text
+
+
+def test_feature_vector_dims_and_values():
+    v = feature_vector("Table 1: The total.", (10, 20, 110, 70), (1000, 500))
+    assert v.shape == (N_FEATURES,) and v.dtype == np.float32
+    stats = text_stats("Ab1 cd.")
+    assert stats[0] == np.float32(np.log1p(7.0))
+    assert abs(stats[2] - 1 / 7) < 1e-6  # digit ratio
+    assert abs(stats[3] - 1 / 7) < 1e-6  # upper ratio
+    kw = keyword_scores("this table shows the total for each row")
+    assert kw[5] == 1.0  # all 3 of table/total/row present
+    sp = v[17:]
+    np.testing.assert_allclose(
+        sp, [0.01, 0.04, 0.1, 0.1, 0.06, 0.09], atol=1e-6
+    )

@@ -1,0 +1,133 @@
+"""End-to-end Spark pipeline tests: golden byte-identity vs the
+single-process oracle, distributed fixture generation, exactly-once
+resume, parallelism invariance, skew-aware host stats (SURVEY §5.3-5.6).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from doclayout_yolo_spark.fixtures import PAGES_DDL, generate_pages_df, generate_pages_pandas
+from doclayout_yolo_spark.oracle import extract_rows
+from doclayout_yolo_spark.pipeline import (
+    extract_pages,
+    host_stats,
+    read_extracted,
+    run_extraction_job,
+)
+
+N_PAGES = 80
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    return generate_pages_pandas(N_PAGES)
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, pages_pdf):
+    df = spark.createDataFrame(pages_pdf, schema=PAGES_DDL)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def golden(pages_pdf):
+    return {
+        r["url"]: r
+        for r in extract_rows(zip(pages_pdf["url"], pages_pdf["html"]))
+    }
+
+
+def test_distributed_generator_matches_pandas(spark, pages_pdf):
+    dist = generate_pages_df(spark, N_PAGES, partitions=7).toPandas()
+    dist = dist.sort_values("url").reset_index(drop=True)
+    local = pages_pdf.sort_values("url").reset_index(drop=True)
+    assert list(dist["url"]) == list(local["url"])
+    assert all(bytes(a) == bytes(b) for a, b in zip(dist["html"], local["html"]))
+    assert list(dist["lang"]) == list(local["lang"])
+
+
+def test_golden_byte_identity(spark, pages_df, golden):
+    """The north-rule gate: Spark extracted_text byte-equal per url to
+    the single-process oracle."""
+    out = extract_pages(pages_df, n_buckets=16, num_partitions=5).collect()
+    assert len(out) == N_PAGES
+    for row in out:
+        g = golden[row["url"]]
+        assert row["extracted_text"] == g["extracted_text"], row["url"]
+        got_spans = [s.asDict() for s in row["spans"]]
+        assert got_spans == g["spans"], row["url"]
+        assert row["n_regions"] == g["n_regions"]
+
+
+def test_parallelism_invariance(spark, pages_df, golden):
+    """Same input at different partition counts -> identical output
+    (per-document kernel never depends on batch composition)."""
+    a = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages(pages_df, num_partitions=2).collect()
+    }
+    b = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages(pages_df, num_partitions=13).collect()
+    }
+    assert a == b
+
+
+def test_run_job_and_resume(spark, pages_df, tmp_path_factory, golden):
+    """Kill/resume semantics: a partial run (simulated crash after some
+    buckets) followed by a resumed run yields exactly the one-shot
+    output — no missing urls, no duplicates (SURVEY §5.5)."""
+    out1 = str(tmp_path_factory.mktemp("oneshot"))
+    stats = run_extraction_job(spark, pages_df, out1, n_buckets=8)
+    assert stats["n_docs"] == N_PAGES
+    oneshot = {
+        r["url"]: r["extracted_text"] for r in read_extracted(spark, out1).collect()
+    }
+    assert len(oneshot) == N_PAGES
+
+    out2 = str(tmp_path_factory.mktemp("resumed"))
+    partial = run_extraction_job(
+        spark, pages_df, out2, n_buckets=8, bucket_filter=F.col("part_id") < 4
+    )
+    assert 0 < partial["n_docs"] < N_PAGES
+    resumed = run_extraction_job(spark, pages_df, out2, n_buckets=8)
+    assert partial["n_docs"] + resumed["n_docs"] == N_PAGES
+    rows = read_extracted(spark, out2).collect()
+    assert len(rows) == N_PAGES  # no duplicates
+    assert {r["url"]: r["extracted_text"] for r in rows} == oneshot
+
+    # idempotent: a third run must process nothing
+    again = run_extraction_job(spark, pages_df, out2, n_buckets=8)
+    assert again["n_docs"] == 0
+    assert len(read_extracted(spark, out2).collect()) == N_PAGES
+
+    # lineage recorded and consistent
+    lineage = spark.read.parquet(f"{out2}/_lineage")
+    agg = lineage.agg(F.sum("n_docs").alias("d")).collect()[0]
+    assert agg["d"] == N_PAGES
+    assert lineage.filter(F.col("bytes_in") <= 0).count() == 0
+
+
+def test_golden_matches_job_output(spark, pages_df, tmp_path_factory, golden):
+    out = str(tmp_path_factory.mktemp("job"))
+    run_extraction_job(spark, pages_df, out, n_buckets=8)
+    for r in read_extracted(spark, out).collect():
+        assert r["extracted_text"] == golden[r["url"]]["extracted_text"]
+
+
+def test_host_stats_salted_agg_correct(spark, pages_df):
+    got = {r["host"]: r["n_pages"] for r in host_stats(pages_df, n_salts=4).collect()}
+    naive = {
+        r["host"]: r["n"]
+        for r in pages_df.select(
+            F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == naive
+    assert max(got.values()) > 3 * min(got.values())  # skew actually present
