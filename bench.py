@@ -1,0 +1,106 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "extraction_docs_per_sec": ..., "cpus": ...}
+
+Protocol mirrors the reference's speed benchmark
+(evaluate_comprehensive.py:117-147): warmup run, then timed runs.
+Results are forced with a noop-format write (full materialization, no
+driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from doclayout_yolo_spark.contract import ALL_QUERIES  # noqa: E402
+from doclayout_yolo_spark.fixtures import generate_pages_df  # noqa: E402
+from doclayout_yolo_spark.pipeline import extract_pages  # noqa: E402
+from doclayout_yolo_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "top3_events_per_user",
+    "sessionize_events",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "simhash",
+    "ann_cosine_topk",
+    "extract_pages",
+]
+
+N_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000"))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app="bench", master=f"local[{cpus}]")
+
+    # warmup: JVM codegen + the full python worker pool (the first
+    # mapInPandas job pays worker spawn + pandas import per core; that
+    # cost is real but one-time, so it is excluded from per-query timing)
+    _force(spark.range(10_000).selectExpr("sum(id) as s"))
+    _force(
+        spark.range(cpus * 4, numPartitions=cpus).mapInPandas(
+            lambda it: it, "id long"
+        )
+    )
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn, _sql = ALL_QUERIES[name]
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # end-to-end extraction throughput over the Common-Crawl-style
+    # pages table (the north-rule metric): seeded generation is cached
+    # first so timing covers extraction only.
+    pages = generate_pages_df(spark, N_BENCH_PAGES, partitions=cpus * 2)
+    pages.cache().count()
+    t0 = time.time()
+    _force(extract_pages(pages, n_buckets=max(64, cpus * 4), num_partitions=cpus * 2))
+    dt = time.time() - t0
+    timings["pages_extraction"] = round(dt, 3)
+    total += dt
+    docs_per_sec = N_BENCH_PAGES / dt
+    pages.unpersist()
+
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "headline query set wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extraction_docs_per_sec": round(docs_per_sec, 1),
+                "extraction_n_pages": N_BENCH_PAGES,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

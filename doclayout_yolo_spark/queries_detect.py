@@ -1,0 +1,252 @@
+"""Detection-semantics queries over driver testdata.
+
+The testdata has no boxes, so detections/ground truth are *derived
+deterministically* from the ``events`` table with pure integer
+arithmetic (identical in Spark and DuckDB), then the reference's
+relational post-processing semantics run on them:
+
+- ``det_postprocess_sql``: confidence filter (F1, predict.py:23),
+  class allow-filter dropping 'abandon' id 2 (F2, predict.py:24-25),
+  xywh->xyxy conversion (C1, ops.py:382-400), clip (C2, ops.py:305-324)
+  — fully SQL-expressible, oracle-checked.
+- ``det_iou_best_match``: per-document IoU theta-join (J1,
+  metrics.py:53-72) + best-match-per-detection ranking (J2's
+  relational rendering, validator.py:249-289).
+- ``det_grouped_postprocess``: the REAL kernel (two-stage top-k + NMS
+  + reading order) via applyInPandas per doc — not SQL-expressible
+  (greedy NMS), so no oracle: driver records the rows-only check.
+
+Plus the flagship: ``extract_pages`` — wraps ``documents`` rows into
+HTML pages and runs the full extraction pipeline; for this controlled
+page shape the extracted text is provably ``'Doc <id>\\n\\n<text>'``,
+which gives the full pipeline a value-hash SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .kernels import postprocess
+from .pipeline import extract_pages
+
+PAGE = 1000.0
+
+
+def _events(spark: SparkSession, sf_dir: str):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _derived_dets(spark, sf_dir):
+    """Deterministic synthetic detections: integer arithmetic on
+    event_id only — bit-identical across engines."""
+    ev = _events(spark, sf_dir)
+    e = F.col("event_id")
+    return ev.select(
+        (F.col("user_id") % 50).alias("doc"),
+        e.alias("det_id"),
+        ((e * 37) % 800 + 50).cast("double").alias("cx"),
+        ((e * 53) % 800 + 50).cast("double").alias("cy"),
+        ((e * 7) % 300 + 100).cast("double").alias("w"),
+        ((e * 11) % 240 + 80).cast("double").alias("h"),
+        (((e * 13) % 100) / 100.0).alias("conf"),
+        # NOT e % 10: class parity must not correlate with the even/odd
+        # det-vs-gt split used by det_iou_best_match
+        F.floor((e % 20) / 2.0).alias("cls"),
+    )
+
+
+_DERIVED_DUCK = """
+  SELECT user_id % 50 AS doc, event_id AS det_id,
+         CAST((event_id * 37) % 800 + 50 AS DOUBLE) AS cx,
+         CAST((event_id * 53) % 800 + 50 AS DOUBLE) AS cy,
+         CAST((event_id * 7) % 300 + 100 AS DOUBLE) AS w,
+         CAST((event_id * 11) % 240 + 80 AS DOUBLE) AS h,
+         ((event_id * 13) % 100) / 100.0 AS conf,
+         FLOOR((event_id % 20) / 2.0) AS cls
+  FROM events
+"""
+
+
+def det_postprocess_sql(spark, sf_dir):
+    d = _derived_dets(spark, sf_dir)
+    x1 = F.col("cx") - F.col("w") / 2.0
+    y1 = F.col("cy") - F.col("h") / 2.0
+    x2 = F.col("cx") + F.col("w") / 2.0
+    y2 = F.col("cy") + F.col("h") / 2.0
+    clip = lambda c: F.greatest(F.lit(0.0), F.least(F.lit(PAGE), c))  # noqa: E731
+    return (
+        d.filter((F.col("conf") > 0.25) & (F.col("cls") != 2))
+        .select(
+            "doc",
+            "det_id",
+            clip(x1).alias("x1"),
+            clip(y1).alias("y1"),
+            clip(x2).alias("x2"),
+            clip(y2).alias("y2"),
+            "conf",
+            "cls",
+        )
+    )
+
+
+DET_POSTPROCESS_SQL = f"""
+WITH d AS ({_DERIVED_DUCK})
+SELECT doc, det_id,
+       GREATEST(0.0, LEAST({PAGE}, cx - w / 2.0)) AS x1,
+       GREATEST(0.0, LEAST({PAGE}, cy - h / 2.0)) AS y1,
+       GREATEST(0.0, LEAST({PAGE}, cx + w / 2.0)) AS x2,
+       GREATEST(0.0, LEAST({PAGE}, cy + h / 2.0)) AS y2,
+       conf, cls
+FROM d WHERE conf > 0.25 AND cls <> 2
+"""
+
+
+def det_iou_best_match(spark, sf_dir):
+    d = _derived_dets(spark, sf_dir)
+    boxed = d.select(
+        "doc",
+        "det_id",
+        "cls",
+        (F.col("cx") - F.col("w") / 2.0).alias("x1"),
+        (F.col("cy") - F.col("h") / 2.0).alias("y1"),
+        (F.col("cx") + F.col("w") / 2.0).alias("x2"),
+        (F.col("cy") + F.col("h") / 2.0).alias("y2"),
+    )
+    dets = boxed.filter(F.col("det_id") % 2 == 0).select(
+        "doc", F.col("det_id"), F.col("cls"),
+        *[F.col(c).alias(f"d_{c}") for c in ("x1", "y1", "x2", "y2")],
+    )
+    gts = boxed.filter(F.col("det_id") % 2 == 1).select(
+        "doc", F.col("det_id").alias("gt_id"), F.col("cls").alias("gt_cls"),
+        *[F.col(c).alias(f"g_{c}") for c in ("x1", "y1", "x2", "y2")],
+    )
+    ix = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("d_x2"), F.col("g_x2")) - F.greatest(F.col("d_x1"), F.col("g_x1")),
+    )
+    iy = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("d_y2"), F.col("g_y2")) - F.greatest(F.col("d_y1"), F.col("g_y1")),
+    )
+    inter = ix * iy
+    area_d = (F.col("d_x2") - F.col("d_x1")) * (F.col("d_y2") - F.col("d_y1"))
+    area_g = (F.col("g_x2") - F.col("g_x1")) * (F.col("g_y2") - F.col("g_y1"))
+    iou = F.round(inter / (area_d + area_g - inter), 6)
+    pairs = (
+        dets.join(gts, ["doc"])
+        .filter(F.col("cls") == F.col("gt_cls"))
+        .select("doc", "det_id", "gt_id", "cls", iou.alias("iou"))
+        .filter(F.col("iou") > 0.1)
+    )
+    w = W.partitionBy("doc", "det_id").orderBy(F.desc("iou"), F.asc("gt_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+DET_IOU_SQL = f"""
+WITH d AS ({_DERIVED_DUCK}),
+boxed AS (
+  SELECT doc, det_id, cls,
+         cx - w / 2.0 AS x1, cy - h / 2.0 AS y1,
+         cx + w / 2.0 AS x2, cy + h / 2.0 AS y2
+  FROM d
+),
+pairs AS (
+  SELECT a.doc, a.det_id, b.det_id AS gt_id, a.cls,
+         ROUND(
+           GREATEST(0.0, LEAST(a.x2, b.x2) - GREATEST(a.x1, b.x1)) *
+           GREATEST(0.0, LEAST(a.y2, b.y2) - GREATEST(a.y1, b.y1)) /
+           ((a.x2 - a.x1) * (a.y2 - a.y1) + (b.x2 - b.x1) * (b.y2 - b.y1)
+            - GREATEST(0.0, LEAST(a.x2, b.x2) - GREATEST(a.x1, b.x1)) *
+              GREATEST(0.0, LEAST(a.y2, b.y2) - GREATEST(a.y1, b.y1))), 6) AS iou
+  FROM boxed a JOIN boxed b
+    ON a.doc = b.doc AND a.cls = b.cls
+   AND a.det_id % 2 = 0 AND b.det_id % 2 = 1
+)
+SELECT doc, det_id, gt_id, cls, iou FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc, det_id ORDER BY iou DESC, gt_id ASC) AS rn
+  FROM pairs WHERE iou > 0.1
+) WHERE rn = 1
+"""
+
+
+# --- the real grouped NMS kernel (no SQL oracle: greedy NMS) --------------------
+
+GROUPED_DDL = "doc long, x1 double, y1 double, x2 double, y2 double, conf double, cls long"
+
+
+def _grouped_kernel(pdf):
+    import pandas as pd  # noqa: PLC0415
+
+    doc = int(pdf["doc"].iloc[0])
+    boxes = pdf[["cx", "cy", "w", "h"]].to_numpy(dtype=np.float32)
+    nc = 10
+    scores = np.zeros((len(pdf), nc), dtype=np.float32)
+    scores[np.arange(len(pdf)), pdf["cls"].to_numpy()] = pdf["conf"].to_numpy()
+    out = postprocess(boxes, scores, conf_thres=0.25, iou_thres=0.7,
+                      max_det=300, drop_classes=(2,))
+    return pd.DataFrame(
+        {
+            "doc": doc,
+            "x1": out["x1"].astype(float),
+            "y1": out["y1"].astype(float),
+            "x2": out["x2"].astype(float),
+            "y2": out["y2"].astype(float),
+            "conf": out["conf"].astype(float),
+            "cls": out["cls"],
+        }
+    )
+
+
+def det_grouped_postprocess(spark, sf_dir):
+    d = _derived_dets(spark, sf_dir)
+    return d.groupBy("doc").applyInPandas(_grouped_kernel, schema=GROUPED_DDL)
+
+
+# --- flagship: full extraction over pages built from documents -------------------
+
+def _pages_from_documents(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit("<html><head><title>d</title></head><body>"
+              "<nav><p><a href=\"/x\">home</a></p></nav><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><footer><p>copyright</p></footer></body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://testdata.local/doc/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+def extract_pages_flagship(spark, sf_dir):
+    pages = _pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages, n_buckets=64)
+    return out.select("url", "extracted_text", "n_regions", "n_blocks")
+
+
+# provable closed form for this controlled page shape: nav+footer are
+# boilerplate (stripped), h1 -> 'Doc <id>', p -> text, separator '\n\n'.
+FLAGSHIP_SQL = """
+SELECT 'https://testdata.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || text AS extracted_text,
+       CAST(2 AS INT) AS n_regions,
+       CAST(4 AS INT) AS n_blocks
+FROM documents
+"""
+
+
+DETECT_QUERIES = {
+    "det_postprocess_sql": (det_postprocess_sql, DET_POSTPROCESS_SQL),
+    "det_iou_best_match": (det_iou_best_match, DET_IOU_SQL),
+    "det_grouped_postprocess": (det_grouped_postprocess, None),
+    "extract_pages": (extract_pages_flagship, FLAGSHIP_SQL),
+}

@@ -1,0 +1,395 @@
+"""Text-analysis and deduplication operators over the ``documents``
+table — the training-data-pipeline surface (language-ID heuristic,
+quality scoring, token counting, fingerprinting, exact / n-gram-Jaccard
+/ MinHash-LSH / SimHash dedup).  Each has a DuckDB oracle.
+
+Engine-agnostic hashing: ``bigint(hex(md5(x)[:15]))`` — md5 is
+identical everywhere; 15 hex chars fit in int64.  Spark:
+``conv(substr(md5(x),1,15),16,10)``; DuckDB:
+``cast(concat('0x', substr(md5(x),1,15)) as bigint)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _h64(col):
+    """Engine-agnostic 60-bit hash of a string column (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+_H64_DUCK = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+# --- C8 analog: per-document text statistics --------------------------------
+
+def text_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    length = F.length("text")
+    return d.select(
+        "doc_id",
+        length.alias("n_chars_calc"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+            / length.cast("double"),
+            6,
+        ).alias("digit_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), "[^aeiou]", ""))
+            / length.cast("double"),
+            6,
+        ).alias("vowel_ratio"),
+        (length - F.length(F.regexp_replace(F.col("text"), " ", "")))
+        .cast("long")
+        .alias("n_spaces"),
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+       LENGTH(text) AS n_chars_calc,
+       CAST(LENGTH(string_split(text, ' ')) AS BIGINT) AS n_words,
+       ROUND(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(LENGTH(text) AS DOUBLE), 6) AS digit_ratio,
+       ROUND(LENGTH(regexp_replace(text, '[^aeiou]', '', 'g')) / CAST(LENGTH(text) AS DOUBLE), 6) AS vowel_ratio,
+       CAST(LENGTH(text) - LENGTH(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+FROM documents
+"""
+
+
+# --- token counting (BPE-ish regex + distinct words) -------------------------
+
+def token_count(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_distinct_words"),
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CAST(LENGTH(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+       CAST(LENGTH(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words
+FROM documents
+"""
+
+
+# --- language-ID heuristic (marker-word scoring + argmax) ---------------------
+
+_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "fr": ("le", "et", "la"),
+}
+
+
+def _occ_spark(word: str):
+    # occurrences of word as whole token: count of ' word ' in padded text
+    return F.size(F.split(F.concat(F.lit(" "), F.col("text"), F.lit(" ")), f" {word} ")) - 1
+
+
+def lang_id(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    scores = {
+        lang: sum((_occ_spark(w) for w in ws[1:]), _occ_spark(ws[0]))
+        for lang, ws in _MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]), "en"
+        )
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        scores["en"].cast("long").alias("score_en"),
+        scores["de"].cast("long").alias("score_de"),
+        scores["fr"].cast("long").alias("score_fr"),
+        pred.alias("pred_lang"),
+        "lang",
+    )
+
+
+def _occ_duck(word: str) -> str:
+    return f"(LENGTH(string_split(' ' || text || ' ', ' {word} ')) - 1)"
+
+
+def _lang_score_duck(lang: str) -> str:
+    return " + ".join(_occ_duck(w) for w in _MARKERS[lang])
+
+
+LANG_ID_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST({_lang_score_duck("en")} AS BIGINT) AS score_en,
+         CAST({_lang_score_duck("de")} AS BIGINT) AS score_de,
+         CAST({_lang_score_duck("fr")} AS BIGINT) AS score_fr
+  FROM documents
+)
+SELECT doc_id, score_en, score_de, score_fr,
+       CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+            WHEN score_de >= score_fr THEN 'de'
+            ELSE 'fr' END AS pred_lang,
+       lang
+FROM s
+"""
+
+
+# --- quality scoring ----------------------------------------------------------
+
+def quality_score(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n_words = F.size(F.split(F.col("text"), " ")).cast("double")
+    stop_hits = sum(
+        (_occ_spark(w) for w in ("and", "of", "to")), _occ_spark("the")
+    ).cast("double")
+    digit_ratio = F.length(
+        F.regexp_replace(F.col("text"), "[^0-9]", "")
+    ) / F.length("text").cast("double")
+    score = F.round(
+        F.log1p(n_words) * (1.0 - digit_ratio) + stop_hits / n_words, 6
+    )
+    return d.select(
+        "doc_id",
+        score.alias("quality"),
+        F.round(stop_hits / n_words, 6).alias("stopword_ratio"),
+    )
+
+
+_STOPS_DUCK = " + ".join(_occ_duck(w) for w in ("the", "and", "of", "to"))
+QUALITY_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(LENGTH(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST({_STOPS_DUCK} AS DOUBLE) AS stop_hits,
+         LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(LENGTH(text) AS DOUBLE) AS digit_ratio
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(LN(1 + n_words) * (1.0 - digit_ratio) + stop_hits / n_words, 6) AS quality,
+       ROUND(stop_hits / n_words, 6) AS stopword_ratio
+FROM s
+"""
+
+
+# --- exact dedup: hash-groupBy fingerprinting ----------------------------------
+
+def dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.md5(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# --- n-gram Jaccard near-dup pairs ---------------------------------------------
+
+JACCARD_THRESHOLD = 0.6
+
+
+def _shingles(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("sh"),
+    ).distinct()
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    j = (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+_SHINGLES_DUCK = """
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  ), UNNEST([concat_ws(' ', w[i+1], w[i+2], w[i+3]) FOR i IN RANGE(0, LENGTH(w) - 2)]) u(sh)
+"""
+
+JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_DUCK}),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN counts ca ON doc_a = ca.doc_id
+JOIN counts cb ON doc_b = cb.doc_id
+WHERE inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH candidate pairs ----------------------------------------------
+
+N_HASHES = 8
+N_BANDS = 4  # 2 rows per band
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(_h64(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"m{s}")
+            for s in range(N_HASHES)
+        ]
+    )
+    bands = None
+    for band in range(N_BANDS):
+        b = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.col(f"m{2 * band}").alias("h1"),
+            F.col(f"m{2 * band + 1}").alias("h2"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    c = bands.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.h1") == F.col("c.h1"))
+            & (F.col("a.h2") == F.col("c.h2"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_MINS_DUCK = ",\n       ".join(
+    "MIN(" + _H64_DUCK.format(x=f"'{s}:' || sh") + f") AS m{s}" for s in range(N_HASHES)
+)
+_BANDS_DUCK = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {band} AS band, m{2 * band} AS h1, m{2 * band + 1} AS h2 FROM sig"
+    for band in range(N_BANDS)
+)
+
+MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLES_DUCK}),
+sig AS (
+  SELECT doc_id,
+       {_MINS_DUCK}
+  FROM sh GROUP BY doc_id
+),
+bands AS ({_BANDS_DUCK})
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+FROM bands a JOIN bands c
+  ON a.band = c.band AND a.h1 = c.h1 AND a.h2 = c.h2 AND a.doc_id < c.doc_id
+"""
+
+
+# --- SimHash fingerprint (16-bit) ------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word")
+    ).filter(F.length("word") > 0)
+    hashed = words.select("doc_id", _h64(F.col("word")).alias("h"))
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+_SIM_SUMS = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIM_VAL = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+)
+
+SIMHASH_SQL = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+  WHERE LENGTH(word) > 0
+),
+hashed AS (SELECT doc_id, {_H64_DUCK.format(x="word")} AS h FROM words),
+sums AS (
+  SELECT doc_id,
+         {_SIM_SUMS}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIM_VAL} AS BIGINT) AS simhash FROM sums
+"""
+
+
+TEXT_QUERIES = {
+    "text_stats": (text_stats, TEXT_STATS_SQL),
+    "token_count": (token_count, TOKEN_COUNT_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
+    "quality_score": (quality_score, QUALITY_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
+    "simhash": (simhash, SIMHASH_SQL),
+}
