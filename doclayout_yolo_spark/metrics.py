@@ -1,0 +1,185 @@
+"""Detection-metrics harness — the Spark rendering of the reference's
+``model.val`` query (SURVEY §3.2):
+
+    detections x labels (per-doc grouped NumPy match kernel, J1/J2)
+      -> match table (doc, cls, conf, tp@iou[T])
+      -> conf-desc cumulative TP/FP (window, A3)
+      -> per-class AP via 101-point interpolated precision envelope (A5/A6)
+      -> mAP / mAP50 (A8)
+
+Reference semantics reproduced numerically (not ported):
+- IoU matrix: utils/metrics.py:53-72
+- greedy matching over IoU thresholds: engine/validator.py:249-289
+  (candidate pairs above threshold; sort by IoU desc; dedup by
+  detection then by label — each side matched at most once)
+- AP integral: precision envelope (reverse running max) + 101-point
+  interpolation: utils/metrics.py:496-526
+- per-class loop over 10 IoU thresholds: utils/metrics.py:528-616
+
+The match stage is a per-document ``applyInPandas`` kernel (both sides
+tiny per group — never a global theta join); the AP reduction runs on
+the aggregated match table, which is small (one row per detection), so
+the final 101-point integration executes in NumPy on the collected
+per-class curves exactly like the reference's single-process finalize.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .kernels import box_iou
+
+IOU_THRESHOLDS = np.round(np.arange(0.5, 1.0, 0.05), 2)  # 10 thresholds
+
+
+def greedy_match(
+    det_boxes: np.ndarray,
+    det_cls: np.ndarray,
+    gt_boxes: np.ndarray,
+    gt_cls: np.ndarray,
+    thresholds: np.ndarray = IOU_THRESHOLDS,
+) -> np.ndarray:
+    """(n_det, T) bool TP matrix — validator.py:249-289 semantics."""
+    n, t = len(det_boxes), len(thresholds)
+    tp = np.zeros((n, t), dtype=bool)
+    if n == 0 or len(gt_boxes) == 0:
+        return tp
+    iou = box_iou(gt_boxes, det_boxes)  # (n_gt, n_det)
+    # zero out wrong-class pairs
+    correct_cls = gt_cls[:, None] == det_cls[None, :]
+    iou = iou * correct_cls
+    for ti, thr in enumerate(thresholds):
+        gi, di = np.nonzero(iou >= thr)
+        if len(gi) == 0:
+            continue
+        order = np.argsort(-iou[gi, di], kind="stable")
+        gi, di = gi[order], di[order]
+        # dedup by detection, then by label (each matched at most once)
+        _, keep_d = np.unique(di, return_index=True)
+        gi, di = gi[np.sort(keep_d)], di[np.sort(keep_d)]
+        _, keep_g = np.unique(gi, return_index=True)
+        gi, di = gi[np.sort(keep_g)], di[np.sort(keep_g)]
+        tp[di, ti] = True
+    return tp
+
+
+MATCH_DDL = "doc string, det_id long, cls long, conf double, " + ", ".join(
+    f"tp{i} boolean" for i in range(len(IOU_THRESHOLDS))
+)
+
+
+def _match_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    doc = key[0]
+    dets = pdf[pdf["side"] == "det"]
+    gts = pdf[pdf["side"] == "gt"]
+    boxes_d = dets[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float32)
+    boxes_g = gts[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float32)
+    tp = greedy_match(
+        boxes_d,
+        dets["cls"].to_numpy(),
+        boxes_g,
+        gts["cls"].to_numpy(),
+    )
+    out = {
+        "doc": str(doc),
+        "det_id": dets["det_id"].to_numpy(),
+        "cls": dets["cls"].to_numpy(),
+        "conf": dets["conf"].to_numpy(),
+    }
+    for i in range(tp.shape[1]):
+        out[f"tp{i}"] = tp[:, i]
+    return pd.DataFrame(out)
+
+
+def match_table(dets: DataFrame, gts: DataFrame) -> DataFrame:
+    """dets: (doc, det_id, x1..y2, conf, cls); gts: (doc, gt_id
+    [ignored], x1..y2, cls).  Returns the per-detection TP table.
+
+    Union-then-group keeps one shuffle: both sides hash-partition on
+    doc once, the kernel splits them back out per group.
+    """
+    d = dets.select(
+        "doc", "det_id", "x1", "y1", "x2", "y2", "conf", "cls",
+        F.lit("det").alias("side"),
+    )
+    g = gts.select(
+        "doc", F.lit(-1).alias("det_id"), "x1", "y1", "x2", "y2",
+        F.lit(0.0).alias("conf"), "cls", F.lit("gt").alias("side"),
+    )
+    both = d.unionByName(g)
+    return both.groupBy("doc").applyInPandas(_match_group, schema=MATCH_DDL)
+
+
+def ap_interp(recall: np.ndarray, precision: np.ndarray) -> float:
+    """101-point interpolated AP with precision envelope —
+    metrics.py:496-526 semantics (reverse running max + interp)."""
+    r = np.concatenate([[0.0], recall, [1.0]])
+    p = np.concatenate([[1.0], precision, [0.0]])
+    p = np.flip(np.maximum.accumulate(np.flip(p)))
+    x = np.linspace(0, 1, 101)
+    return float(np.trapz(np.interp(x, r, p), x))
+
+
+def ap_per_class(
+    matches: DataFrame, gt_counts: dict[int, int]
+) -> pd.DataFrame:
+    """match table -> per-(cls, iou_threshold) AP.
+
+    The heavy part (per-detection cumsum ordering) is a Spark window;
+    the final 101-point integral runs on the small per-class curves.
+    Returns pandas (cls, iou_idx, ap) + summary rows via `summarize`.
+    """
+    t = len(IOU_THRESHOLDS)
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    w = (
+        W.partitionBy("cls")
+        .orderBy(F.desc("conf"), F.asc("doc"), F.asc("det_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = matches.select(
+        "cls",
+        "conf",
+        "doc",
+        "det_id",
+        *[
+            F.sum(F.col(f"tp{i}").cast("int")).over(w).alias(f"ctp{i}")
+            for i in range(t)
+        ],
+        F.count("*").over(w).alias("n_preds"),
+    )
+    pdf = cum.toPandas()  # one row per detection: small at fixture scale
+    rows = []
+    for cls, grp in pdf.groupby("cls"):
+        n_gt = gt_counts.get(int(cls), 0)
+        if n_gt == 0:
+            continue
+        grp = grp.sort_values(
+            ["conf", "doc", "det_id"], ascending=[False, True, True]
+        )
+        for i in range(t):
+            ctp = grp[f"ctp{i}"].to_numpy(dtype=np.float64)
+            npreds = grp["n_preds"].to_numpy(dtype=np.float64)
+            recall = ctp / n_gt
+            precision = ctp / npreds
+            rows.append(
+                {
+                    "cls": int(cls),
+                    "iou_idx": i,
+                    "iou_thr": float(IOU_THRESHOLDS[i]),
+                    "ap": ap_interp(recall, precision),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def summarize(ap_df: pd.DataFrame) -> dict:
+    """mAP50 / mAP50-95 means over classes (metrics.py:656-744, A8)."""
+    if ap_df.empty:
+        return {"map50": 0.0, "map50_95": 0.0}
+    ap50 = ap_df[ap_df["iou_idx"] == 0].groupby("cls")["ap"].first()
+    ap_all = ap_df.groupby("cls")["ap"].mean()
+    return {"map50": float(ap50.mean()), "map50_95": float(ap_all.mean())}

@@ -41,7 +41,8 @@ SPANS_DDL = (
 )
 OUTPUT_DDL = (
     "url string, part_id int, extracted_text string, "
-    f"spans {SPANS_DDL}, n_regions int, n_blocks int, page_h double"
+    f"spans {SPANS_DDL}, n_regions int, n_blocks int, page_h double, "
+    "error string"
 )
 
 DEFAULT_BUCKETS = 64  # >> cores locally; thousands on a real cluster
@@ -57,6 +58,22 @@ class _ListAccum(AccumulatorParam):
     def addInPlace(self, a, b):
         a.extend(b)
         return a
+
+
+def _extract_one(url: str, raw: bytes):
+    """Per-document quarantine wrapper (P9): a poisoned document must
+    yield an error row, never kill the task — at 10^12 documents a
+    one-in-a-billion parser bug would otherwise fail whole partitions."""
+    try:
+        text, regions, meta = extract_document(raw)
+        return text, regions, meta, None
+    except Exception as e:  # noqa: BLE001
+        return (
+            "",
+            [],
+            {"n_regions": 0, "n_blocks": 0, "page_h": 0.0},
+            f"{type(e).__name__}: {e}"[:500],
+        )
 
 
 def _extract_batches(batches, lineage_acc=None):
@@ -76,13 +93,14 @@ def _extract_batches(batches, lineage_acc=None):
     for pdf in batches:
         rows = {
             "url": [], "part_id": [], "extracted_text": [], "spans": [],
-            "n_regions": [], "n_blocks": [], "page_h": [],
+            "n_regions": [], "n_blocks": [], "page_h": [], "error": [],
         }
         for url, html, part_id in zip(
             pdf["url"].to_numpy(), pdf["html"].to_numpy(), pdf["part_id"].to_numpy()
         ):
             raw = bytes(html) if html is not None else b""
-            text, regions, meta = extract_document(raw)
+            text, regions, meta, err = _extract_one(url, raw)
+            rows["error"].append(err)
             rows["url"].append(url)
             rows["part_id"].append(int(part_id))
             rows["extracted_text"].append(text)

@@ -1,0 +1,87 @@
+"""Structured Streaming surface (SURVEY §2.9).
+
+The reference's streaming analog is a generator loop over incoming
+batches (``stream_inference``, engine/predictor.py:209-293) with no
+event-time semantics — so the Spark rendering is a file-source
+``readStream`` over the pages table feeding the *identical* batch
+extraction transform via ``foreachBatch`` (micro-batch = the
+reference's per-batch yield).  Exactly-once comes from the streaming
+checkpoint (source offsets) + the same manifest anti-join as the batch
+job.
+
+Also provides a watermarked tumbling-window aggregation over extracted
+regions — the event-time operator the reference lacks but a continuous
+crawl pipeline needs (late pages tolerated up to the watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fixtures import PAGES_DDL
+from .pipeline import extract_pages
+
+
+def read_pages_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def start_extraction_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    available_now: bool = True,
+):
+    """readStream(pages) -> foreachBatch(batch extraction) -> parquet.
+
+    ``foreachBatch`` reuses the exact batch transform, so streaming and
+    batch outputs are byte-identical per url (same kernel, same
+    determinism contract).
+    """
+    stream = read_pages_stream(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_pages(batch_df, n_buckets=n_buckets)
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            output_dir
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_region_counts(
+    pages_with_regions: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window count of extracted regions by lang —
+    works identically on a static or streaming DataFrame."""
+    return (
+        pages_with_regions.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("n_regions").alias("n_regions"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "lang",
+            "n_pages",
+            "n_regions",
+        )
+    )

@@ -1,0 +1,70 @@
+"""Streaming surface tests: file-source stream -> foreachBatch
+extraction equals the batch pipeline; quarantine wrapper; windowed
+aggregation shape."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from doclayout_yolo_spark import pipeline as pl
+from doclayout_yolo_spark.fixtures import PAGES_DDL, generate_pages_pandas
+from doclayout_yolo_spark.pipeline import extract_pages
+from doclayout_yolo_spark.streaming import (
+    start_extraction_stream,
+    windowed_region_counts,
+)
+
+N = 40
+
+
+def test_stream_equals_batch(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    pdf = generate_pages_pandas(N)
+    df = spark.createDataFrame(pdf, schema=PAGES_DDL)
+    # several files so the stream sees multiple micro-batches
+    df.repartition(5).write.parquet(in_dir)
+
+    q = start_extraction_stream(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages(df, n_buckets=64).collect()
+    }
+    assert got == want
+    # restart with same checkpoint: no new data -> no duplicates
+    q2 = start_extraction_stream(spark, in_dir, out_dir, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == N
+
+
+def test_quarantine_wrapper(monkeypatch):
+    def boom(raw):
+        raise ValueError("poisoned document")
+
+    monkeypatch.setattr(pl, "extract_document", boom)
+    text, regions, meta, err = pl._extract_one("u", b"<p>x</p>")
+    assert text == "" and regions == [] and meta["n_regions"] == 0
+    assert err is not None and "poisoned" in err
+
+
+def test_error_column_null_on_clean_input(spark):
+    pdf = generate_pages_pandas(6)
+    df = spark.createDataFrame(pdf, schema=PAGES_DDL)
+    out = extract_pages(df, n_buckets=4).collect()
+    assert all(r["error"] is None for r in out)
+
+
+def test_windowed_region_counts_static(spark):
+    pdf = generate_pages_pandas(30)
+    df = spark.createDataFrame(pdf, schema=PAGES_DDL)
+    extracted = extract_pages(df, n_buckets=8).select("url", "n_regions")
+    joined = df.select("url", "warc_ts", "lang").join(extracted, "url")
+    agg = windowed_region_counts(joined).collect()
+    assert sum(r["n_pages"] for r in agg) == 30
+    assert all(r["n_regions"] > 0 for r in agg)
