@@ -1,0 +1,69 @@
+"""Physical-plan assertions (SURVEY §4): the optimizations we rely on
+at 100 TB must be visible in the plan — column pruning reaching the
+parquet scan, predicate pushdown, broadcast joins for small dims, and
+a single explicit exchange in the extraction job."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from doclayout_yolo_spark.fixtures import PAGES_DDL, generate_pages_pandas
+from doclayout_yolo_spark.pipeline import extract_pages
+from doclayout_yolo_spark.queries_detect import extract_pages_flagship
+from doclayout_yolo_spark.queries_relational import q1_pricing_summary, q5_region_revenue
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_flagship_scan_prunes_columns(spark):
+    plan = plan_of(extract_pages_flagship(spark, SF_DIR))
+    # the parquet scan must read only (doc_id, text) — never lang /
+    # source / n_chars (P3 column pruning through the html-build projection)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "lang" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_extraction_job_has_single_exchange(spark):
+    pdf = generate_pages_pandas(10)
+    df = spark.createDataFrame(pdf, schema=PAGES_DDL)
+    import re
+
+    plan = plan_of(extract_pages(df, n_buckets=16, num_partitions=4))
+    # exactly one exchange node: the explicit bucket shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "REPARTITION_BY_NUM" in plan
+    assert "MapInPandas" in plan
+
+
+def test_q1_predicate_pushdown(spark):
+    plan = plan_of(q1_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # partial aggregation before the shuffle (map-side combine)
+    assert "HashAggregate" in plan
+
+
+def test_q5_broadcasts_small_dims(spark):
+    plan = plan_of(q5_region_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_whole_stage_codegen_covers_q1(spark):
+    # AQE plans don't show codegen spans until finalized; the codegen
+    # explain mode reports subtrees up front
+    plan = plan_of(q1_pricing_summary(spark, SF_DIR), "codegen")
+    assert "WholeStageCodegen" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = plan_of(q1_pricing_summary(spark, SF_DIR), "simple")
+    assert "partial_sum" in plan  # map-side combine before the shuffle

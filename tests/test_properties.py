@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the deterministic kernels —
+no Spark session needed."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from doclayout_yolo_spark import kernels as K
+from doclayout_yolo_spark.extract import extract_document
+from doclayout_yolo_spark.metrics import greedy_match
+
+
+@st.composite
+def boxes_scores(draw, max_n=40):
+    n = draw(st.integers(0, max_n))
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    xy = rng.rand(n, 2).astype(np.float32) * 200
+    wh = rng.rand(n, 2).astype(np.float32) * 80 + 1
+    boxes = np.concatenate([xy, xy + wh], axis=1)
+    scores = rng.rand(n).astype(np.float32)
+    return boxes, scores
+
+
+@given(boxes_scores(), st.floats(0.1, 0.9))
+@settings(max_examples=60, deadline=None)
+def test_nms_invariants(bs, thr):
+    boxes, scores = bs
+    keep = K.nms(boxes, scores, thr)
+    assert len(set(keep.tolist())) == len(keep)  # unique
+    kept_scores = scores[keep]
+    assert np.all(np.diff(kept_scores) <= 1e-7)  # score-desc order
+    if len(keep) > 1:
+        iou = K.box_iou(boxes[keep], boxes[keep])
+        np.fill_diagonal(iou, 0)
+        assert iou.max() <= thr + 1e-6  # survivors don't overlap past thr
+
+
+@given(boxes_scores())
+@settings(max_examples=30, deadline=None)
+def test_nms_deterministic(bs):
+    boxes, scores = bs
+    a = K.nms(boxes, scores, 0.5)
+    b = K.nms(boxes.copy(), scores.copy(), 0.5)
+    np.testing.assert_array_equal(a, b)
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(1, 50))
+@settings(max_examples=40, deadline=None)
+def test_xywh_roundtrip_property(seed, n):
+    rng = np.random.RandomState(seed)
+    xywh = (rng.rand(n, 4).astype(np.float32) * 100) + 0.5
+    back = K.xyxy2xywh(K.xywh2xyxy(xywh))
+    np.testing.assert_allclose(back, xywh, rtol=1e-4, atol=1e-3)
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(0, 30))
+@settings(max_examples=40, deadline=None)
+def test_reading_order_is_permutation(seed, n):
+    rng = np.random.RandomState(seed)
+    boxes = rng.rand(n, 4).astype(np.float32) * 500
+    order = K.reading_order(boxes, np.arange(n))
+    assert sorted(order.tolist()) == list(range(n))
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=80, deadline=None)
+def test_extract_never_crashes_and_spans_valid(s):
+    html = f"<body><nav><p><a href='/x'>m</a></p></nav><h1>{s}</h1><p>{s} body</p></body>".encode(
+        "utf-8", errors="ignore"
+    )
+    text, regions, meta = extract_document(html)
+    for r in regions:
+        assert text[r.start : r.end] == r.text
+    # determinism
+    text2, regions2, _ = extract_document(html)
+    assert text == text2 and len(regions) == len(regions2)
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_greedy_match_bounds(seed):
+    rng = np.random.RandomState(seed)
+    nd, ng = rng.randint(0, 15), rng.randint(0, 10)
+    db = np.concatenate([rng.rand(nd, 2) * 100, rng.rand(nd, 2) * 100 + 100], axis=1)
+    gb = np.concatenate([rng.rand(ng, 2) * 100, rng.rand(ng, 2) * 100 + 100], axis=1)
+    dc = rng.randint(0, 3, nd)
+    gc = rng.randint(0, 3, ng)
+    tp = greedy_match(db.astype(np.float32), dc, gb.astype(np.float32), gc)
+    assert tp.shape == (nd, 10)
+    # at each threshold, #TP <= min(n_det, n_gt) and thresholds are monotone
+    for t in range(10):
+        assert tp[:, t].sum() <= min(nd, ng)
+        if t > 0:
+            assert tp[:, t].sum() <= tp[:, t - 1].sum()
