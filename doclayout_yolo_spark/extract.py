@@ -263,18 +263,33 @@ _TAG_METRICS: dict[str, tuple[float, float]] = {
 
 def layout_blocks(blocks: list[Block]) -> tuple[np.float32, np.float32]:
     """Assign xyxy page geometry by simulated vertical flow.  Pure
-    float32 arithmetic (determinism pin).  Returns (page_w, page_h)."""
+    float32 arithmetic (determinism pin), vectorized: per-block heights
+    then a float32 cumulative sum reproduces the sequential accumulation
+    exactly (same add order).  Returns (page_w, page_h)."""
+    if not blocks:
+        return PAGE_W, np.float32(MARGIN + MARGIN)
+    metrics = np.array(
+        [_TAG_METRICS.get(b.tag, (18.0, 90.0)) for b in blocks], dtype=np.float32
+    )
+    text_len = np.array([len(b.text) for b in blocks], dtype=np.float32)
+    n_lines = np.maximum(1, np.ceil(text_len / metrics[:, 1]))
+    h = (metrics[:, 0] * n_lines).astype(np.float32)
+    depth = np.array([min(b.depth, 8) for b in blocks], dtype=np.float32)
+    x1 = (MARGIN + np.float32(12.0) * depth).astype(np.float32)
+    # y accumulation: y_{i+1} = (y_i + h_i) + GAP in float32 — replay the
+    # exact two-step adds so results match the scalar loop bit-for-bit
     y = np.float32(MARGIN)
-    for b in blocks:
-        lh, cpl = _TAG_METRICS.get(b.tag, (18.0, 90.0))
-        n_lines = max(1, int(np.ceil(np.float32(len(b.text)) / np.float32(cpl))))
-        h = np.float32(lh) * np.float32(n_lines)
-        indent = np.float32(12.0) * np.float32(min(b.depth, 8))
-        b.x1 = float(MARGIN + indent)
+    y1 = np.empty(len(blocks), dtype=np.float32)
+    y2 = np.empty(len(blocks), dtype=np.float32)
+    for i in range(len(blocks)):
+        y1[i] = y
+        y2[i] = y + h[i]
+        y = np.float32(y2[i] + BLOCK_GAP)
+    for i, b in enumerate(blocks):
+        b.x1 = float(x1[i])
         b.x2 = float(CONTENT_X2)
-        b.y1 = float(y)
-        b.y2 = float(y + h)
-        y = np.float32(y + h + BLOCK_GAP)
+        b.y1 = float(y1[i])
+        b.y2 = float(y2[i])
     return PAGE_W, np.float32(y + MARGIN)
 
 
@@ -340,40 +355,47 @@ def _block_logits(b: Block) -> np.ndarray:
     return logits
 
 
-def _jitter(b: Block, j: int) -> tuple[float, float]:
-    """Deterministic sub-pixel-ish jitter for duplicate anchors, derived
-    from the block's own content hash (never from batch state)."""
-    if j == 0:
-        return 0.0, 0.0
-    h = hashlib.md5(f"{b.idx}:{j}:{b.text[:64]}".encode()).digest()
+def _jitters(b: Block) -> np.ndarray:
+    """(JITTERS_PER_BLOCK, 2) deterministic jitter offsets for one
+    block's duplicate anchors, derived from the block's own content
+    hash (never from batch state).  Row 0 is the exact box."""
+    out = np.zeros((JITTERS_PER_BLOCK, 2), dtype=np.float32)
+    h = hashlib.md5(f"{b.idx}:{b.text[:64]}".encode()).digest()
     w = max(b.x2 - b.x1, 1.0)
     hh = max(b.y2 - b.y1, 1.0)
-    dx = (h[0] / 255.0 - 0.5) * 0.04 * w
-    dy = (h[1] / 255.0 - 0.5) * 0.04 * hh
-    return float(np.float32(dx)), float(np.float32(dy))
+    for j in range(1, JITTERS_PER_BLOCK):
+        out[j, 0] = np.float32((h[2 * j] / 255.0 - 0.5) * 0.04 * w)
+        out[j, 1] = np.float32((h[2 * j + 1] / 255.0 - 0.5) * 0.04 * hh)
+    return out
 
 
 def proposals(blocks: list[Block]) -> tuple[np.ndarray, np.ndarray]:
     """Emit (A, 4) xywh anchor boxes and (A, nc) class scores,
     A = len(blocks) * JITTERS_PER_BLOCK.  Anchor index // JITTERS_PER_BLOCK
-    recovers the source block (stable determinism contract)."""
-    a = len(blocks) * JITTERS_PER_BLOCK
-    boxes = np.zeros((a, 4), dtype=np.float32)
-    scores = np.zeros((a, NC), dtype=np.float32)
-    for b in blocks:
-        logits = _block_logits(b)
-        base = _sigmoid32(logits)
-        xyxy = np.array([[b.x1, b.y1, b.x2, b.y2]], dtype=np.float32)
-        xywh = xyxy2xywh(xyxy)[0]
-        for j in range(JITTERS_PER_BLOCK):
-            i = b.idx * JITTERS_PER_BLOCK + j
-            dx, dy = _jitter(b, j)
-            boxes[i, 0] = xywh[0] + dx
-            boxes[i, 1] = xywh[1] + dy
-            boxes[i, 2] = xywh[2]
-            boxes[i, 3] = xywh[3]
-            scores[i] = base * np.float32(1.0 - 0.1 * j)
-    return boxes, scores
+    recovers the source block (stable determinism contract).
+    Vectorized: one xyxy->xywh conversion and one sigmoid over all
+    blocks; only the string-feature logits stay per-block."""
+    nb = len(blocks)
+    j = JITTERS_PER_BLOCK
+    if nb == 0:
+        return (
+            np.zeros((0, 4), dtype=np.float32),
+            np.zeros((0, NC), dtype=np.float32),
+        )
+    xyxy = np.array(
+        [[b.x1, b.y1, b.x2, b.y2] for b in blocks], dtype=np.float32
+    )
+    xywh = xyxy2xywh(xyxy)  # (nb, 4)
+    logits = np.stack([_block_logits(b) for b in blocks])  # (nb, nc)
+    base = _sigmoid32(logits)
+    boxes = np.repeat(xywh, j, axis=0)  # (nb*j, 4)
+    offs = np.concatenate([_jitters(b) for b in blocks])  # (nb*j, 2)
+    boxes[:, :2] += offs
+    scale = np.tile(
+        (1.0 - 0.1 * np.arange(j, dtype=np.float32)), nb
+    )  # (nb*j,)
+    scores = np.repeat(base, j, axis=0) * scale[:, None].astype(np.float32)
+    return boxes, scores.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
