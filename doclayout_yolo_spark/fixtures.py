@@ -63,8 +63,15 @@ def url_for(i: int) -> str:
     return f"https://{host}/article/{i:08d}"
 
 
-def make_page(url: str) -> tuple[bytes, str, str]:
-    """Render one seeded HTML page.  Returns (html_bytes, naive_text, lang)."""
+def make_page(
+    url: str, sections: tuple[int, int] = (2, 6)
+) -> tuple[bytes, str, str]:
+    """Render one seeded HTML page.  Returns (html_bytes, naive_text, lang).
+
+    ``sections`` bounds the per-page section count: the default yields
+    ~4 KB pages (fast unit tests); scaling benchmarks pass a larger
+    range to approximate real Common-Crawl page weights (tens of KB).
+    Byte-stable for a fixed (url, sections)."""
     rng = _rng_for(url)
     title = _sentence(rng, 3, 8).rstrip(".")
     lang = _LANGS[int(rng.randint(0, len(_LANGS)))]
@@ -90,7 +97,7 @@ def make_page(url: str) -> tuple[bytes, str, str]:
     parts.append(f"<h1>{title}</h1>")
     visible.append(title)
 
-    n_sections = int(rng.randint(2, 6))
+    n_sections = int(rng.randint(sections[0], sections[1]))
     for s in range(n_sections):
         h2 = _sentence(rng, 3, 7).rstrip(".")
         parts.append(f"<h2>{h2}</h2>")
@@ -142,7 +149,9 @@ def make_page(url: str) -> tuple[bytes, str, str]:
     return html, " ".join(visible), lang
 
 
-def make_rows(indices: np.ndarray) -> pd.DataFrame:
+def make_rows(
+    indices: np.ndarray, sections: tuple[int, int] = (2, 6)
+) -> pd.DataFrame:
     """Rows of the pages table for the given row indices (vector-safe:
     called per Arrow batch from the distributed generator)."""
     urls, tss, htmls, texts, langs = [], [], [], [], []
@@ -150,7 +159,7 @@ def make_rows(indices: np.ndarray) -> pd.DataFrame:
     for i in indices:
         i = int(i)
         url = url_for(i)
-        html, text, lang = make_page(url)
+        html, text, lang = make_page(url, sections)
         urls.append(url)
         tss.append(datetime.fromtimestamp(base + (i % 86400) * 37, tz=timezone.utc))
         htmls.append(html)
@@ -170,7 +179,10 @@ PAGES_DDL = (
 )
 
 
-def generate_pages_df(spark, n: int, partitions: int | None = None):
+def generate_pages_df(
+    spark, n: int, partitions: int | None = None,
+    sections: tuple[int, int] = (2, 6),
+):
     """Distributed seeded generation: ``spark.range(n)`` fan-out with
     per-row seeds (Pool.starmap ≙ partition parallelism, SURVEY §3.3).
     Safe at any scale — no driver-side materialization."""
@@ -181,6 +193,6 @@ def generate_pages_df(spark, n: int, partitions: int | None = None):
 
     def gen(batches):
         for pdf in batches:
-            yield make_rows(pdf["id"].to_numpy())
+            yield make_rows(pdf["id"].to_numpy(), sections)
 
     return rng_df.mapInPandas(gen, schema=PAGES_DDL)

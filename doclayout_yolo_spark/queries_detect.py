@@ -244,9 +244,98 @@ FROM documents
 """
 
 
+def extract_region_rows(spark, sf_dir):
+    """Span-level long table (the S11 txt-per-region sink rendering):
+    every region of the full extraction pipeline, value-checked against
+    the closed form provable for this controlled page shape."""
+    pages = _pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages, n_buckets=64)
+    return out.select("url", F.explode("spans").alias("s")).select(
+        "url",
+        F.col("s.region_id").alias("region_id"),
+        F.col("s.cls").alias("cls"),
+        F.col("s.name").alias("name"),
+        F.col("s.conf").alias("conf"),
+        F.col("s.x1").alias("x1"),
+        F.col("s.y1").alias("y1"),
+        F.col("s.x2").alias("x2"),
+        F.col("s.y2").alias("y2"),
+        F.col("s.start").alias("span_start"),
+        F.col("s.end").alias("span_end"),
+    )
+
+
+# closed form (verified against the kernel): title block 'Doc <id>'
+# at y 90..130, text block at y1 142, height 18*ceil(len/90), both
+# conf sigmoid32(3.0) -> 0.95257, x 96..900; spans joined by '\n\n'.
+REGION_ROWS_SQL = """
+WITH base AS (
+  SELECT 'https://testdata.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         LENGTH('Doc ' || CAST(doc_id AS VARCHAR)) AS tlen,
+         LENGTH(text) AS xlen
+  FROM documents
+)
+SELECT url, CAST(0 AS INT) AS region_id, CAST(0 AS BIGINT) AS cls,
+       'title' AS name, CAST(0.95257 AS DOUBLE) AS conf,
+       CAST(96 AS DOUBLE) AS x1, CAST(90 AS DOUBLE) AS y1,
+       CAST(900 AS DOUBLE) AS x2, CAST(130 AS DOUBLE) AS y2,
+       CAST(0 AS INT) AS span_start, CAST(tlen AS INT) AS span_end
+FROM base
+UNION ALL
+SELECT url, CAST(1 AS INT), CAST(1 AS BIGINT), 'plain text', CAST(0.95257 AS DOUBLE),
+       CAST(96 AS DOUBLE), CAST(142 AS DOUBLE), CAST(900 AS DOUBLE),
+       CAST(142 + 18 * CEIL(xlen / 90.0) AS DOUBLE),
+       CAST(tlen + 2 AS INT), CAST(tlen + 2 + xlen AS INT)
+FROM base
+"""
+
+
+def detection_map(spark, sf_dir):
+    """Full mAP pipeline over derived dets/gts (greedy IoU match ->
+    window cumsum -> 101-pt AP) — greedy NMS-style matching is not
+    SQL-expressible, so this is a rows-only check; the pipeline is
+    oracle-tested against NumPy in tests/test_metrics.py."""
+    from .metrics import ap_per_class, match_table  # noqa: PLC0415
+
+    d = _derived_dets(spark, sf_dir)
+    boxed = d.select(
+        F.col("doc").cast("string").alias("doc"),
+        "det_id",
+        "cls",
+        (F.col("cx") - F.col("w") / 2.0).alias("x1"),
+        (F.col("cy") - F.col("h") / 2.0).alias("y1"),
+        (F.col("cx") + F.col("w") / 2.0).alias("x2"),
+        (F.col("cy") + F.col("h") / 2.0).alias("y2"),
+        "conf",
+    )
+    dets = boxed.filter(F.col("det_id") % 2 == 0)
+    gts = boxed.filter(F.col("det_id") % 2 == 1).select(
+        "doc", F.col("det_id").alias("gt_id"), "x1", "y1", "x2", "y2", "cls"
+    )
+    gt_counts = {
+        int(r["cls"]): r["n"]
+        for r in gts.groupBy("cls").agg(F.count("*").alias("n")).collect()
+    }
+    ap_pdf = ap_per_class(match_table(dets, gts), gt_counts)
+    return spark.createDataFrame(ap_pdf)
+
+
+def refine_region_scores(spark, sf_dir):
+    """Refinement-MLP stage over extracted regions (rows-only: frozen
+    seeded weights, NumPy matmul inside mapInPandas)."""
+    from .refine import refine_regions  # noqa: PLC0415
+
+    pages = _pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages, n_buckets=64)
+    return refine_regions(out)
+
+
 DETECT_QUERIES = {
     "det_postprocess_sql": (det_postprocess_sql, DET_POSTPROCESS_SQL),
     "det_iou_best_match": (det_iou_best_match, DET_IOU_SQL),
     "det_grouped_postprocess": (det_grouped_postprocess, None),
     "extract_pages": (extract_pages_flagship, FLAGSHIP_SQL),
+    "extract_region_rows": (extract_region_rows, REGION_ROWS_SQL),
+    "detection_map": (detection_map, None),
+    "refine_region_scores": (refine_region_scores, None),
 }

@@ -197,7 +197,129 @@ FROM f GROUP BY doc
 """
 
 
+# --- F8: lazy coordinate projection views -----------------------------------
+
+def coordinate_views(spark, sf_dir):
+    """xyxy / xywh / normalized views of the derived boxes
+    (engine/results.py:479-520 analog)."""
+    from .queries_detect import PAGE, _derived_dets  # noqa: PLC0415
+
+    d = _derived_dets(spark, sf_dir)
+    return d.select(
+        "doc",
+        "det_id",
+        (F.col("cx") - F.col("w") / 2.0).alias("x1"),
+        (F.col("cy") - F.col("h") / 2.0).alias("y1"),
+        (F.col("cx") + F.col("w") / 2.0).alias("x2"),
+        (F.col("cy") + F.col("h") / 2.0).alias("y2"),
+        F.round(F.col("cx") / PAGE, 5).alias("cxn"),
+        F.round(F.col("cy") / PAGE, 5).alias("cyn"),
+        F.round(F.col("w") / PAGE, 5).alias("wn"),
+        F.round(F.col("h") / PAGE, 5).alias("hn"),
+    )
+
+
+COORD_VIEWS_SQL = """
+WITH d AS (
+  SELECT user_id % 50 AS doc, event_id AS det_id,
+         CAST((event_id * 37) % 800 + 50 AS DOUBLE) AS cx,
+         CAST((event_id * 53) % 800 + 50 AS DOUBLE) AS cy,
+         CAST((event_id * 7) % 300 + 100 AS DOUBLE) AS w,
+         CAST((event_id * 11) % 240 + 80 AS DOUBLE) AS h
+  FROM events
+)
+SELECT doc, det_id,
+       cx - w / 2.0 AS x1, cy - h / 2.0 AS y1,
+       cx + w / 2.0 AS x2, cy + h / 2.0 AS y2,
+       ROUND(cx / 1000.0, 5) AS cxn, ROUND(cy / 1000.0, 5) AS cyn,
+       ROUND(w / 1000.0, 5) AS wn, ROUND(h / 1000.0, 5) AS hn
+FROM d
+"""
+
+
+# --- A7: max-F1 threshold pick (grid sweep + window argmax) -------------------
+
+def max_f1_threshold(spark, sf_dir):
+    """Grid-sweep a score threshold per event_type and pick the
+    argmax-F1 point (metrics.py:602-615 rendering: curve + argmax)."""
+    ev = _t(spark, sf_dir, "events")
+    grid = spark.range(1, 20).select((F.col("id") * 5.0).alias("thr"))
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_total"), F.max("value").alias("vmax")
+    )
+    joined = ev.join(F.broadcast(grid)).groupBy("event_type", "thr").agg(
+        F.sum(F.when(F.col("value") >= F.col("thr"), 1).otherwise(0)).alias("n_above")
+    )
+    scored = joined.join(per_type, "event_type").select(
+        "event_type",
+        "thr",
+        F.round(
+            2.0
+            * (F.col("n_above") / F.col("n_total"))
+            * (F.col("thr") / F.col("vmax"))
+            / ((F.col("n_above") / F.col("n_total")) + (F.col("thr") / F.col("vmax"))),
+            6,
+        ).alias("f1"),
+    )
+    w = W.partitionBy("event_type").orderBy(F.desc("f1"), F.asc("thr"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "thr", "f1")
+    )
+
+
+MAX_F1_SQL = """
+WITH grid AS (SELECT CAST((i + 1) * 5.0 AS DOUBLE) AS thr FROM range(19) g(i)),
+per_type AS (
+  SELECT event_type, COUNT(*) AS n_total, MAX(value) AS vmax FROM events GROUP BY 1
+),
+joined AS (
+  SELECT e.event_type, g.thr,
+         SUM(CASE WHEN e.value >= g.thr THEN 1 ELSE 0 END) AS n_above
+  FROM events e CROSS JOIN grid g
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT j.event_type, j.thr,
+         ROUND(2.0 * (n_above / CAST(n_total AS DOUBLE)) * (thr / vmax)
+               / ((n_above / CAST(n_total AS DOUBLE)) + (thr / vmax)), 6) AS f1
+  FROM joined j JOIN per_type p ON j.event_type = p.event_type
+)
+SELECT event_type, thr, f1 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY f1 DESC, thr ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+# --- C7: clean_str ------------------------------------------------------------
+
+def clean_str_sample(spark, sf_dir):
+    """Special-chars -> '_' regex cleanup (utils/ops.py:839-849 analog)
+    over document source labels."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.concat(F.col("source"), F.lit("|#"), F.col("lang")),
+            "[|@#!$%&()+]",
+            "_",
+        ).alias("clean_name"),
+    )
+
+
+CLEAN_STR_SQL = """
+SELECT doc_id,
+       regexp_replace(source || '|#' || lang, '[|@#!$%&()+]', '_', 'g') AS clean_name
+FROM documents
+"""
+
+
 EXTRA_QUERIES = {
+    "coordinate_views": (coordinate_views, COORD_VIEWS_SQL),
+    "max_f1_threshold": (max_f1_threshold, MAX_F1_SQL),
+    "clean_str_sample": (clean_str_sample, CLEAN_STR_SQL),
     "cube_order_stats": (cube_order_stats, CUBE_SQL),
     "customers_minus_eventusers": (customers_minus_eventusers, EXCEPT_SQL),
     "event_value_percentiles": (event_value_percentiles, PERCENTILE_SQL),
