@@ -64,6 +64,46 @@ def start_extraction_stream(
     return writer.start()
 
 
+def stateful_host_counter(
+    pages_stream: DataFrame,
+    timeout_s: int = 3600,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    running per-host page/byte counters that survive across
+    micro-batches (crawl-politeness bookkeeping — the kind of custom
+    state the reference's generator loop keeps in process memory,
+    re-expressed as Spark-managed keyed state with a processing-time
+    timeout)."""
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd  # noqa: PLC0415
+
+        host = key[0]
+        n, b = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            b += int(pdf["html_bytes"].sum())
+        state.update((n, b))
+        state.setTimeoutDuration(timeout_s * 1000)
+        yield pd.DataFrame({"host": [host], "n_pages": [n], "total_bytes": [b]})
+
+    hosts = pages_stream.select(
+        F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"),
+        F.length("html").alias("html_bytes"),
+    )
+    return hosts.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType="host string, n_pages long, total_bytes long",
+        stateStructType="n long, b long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_region_counts(
     pages_with_regions: DataFrame,
     window: str = "1 hour",

@@ -60,6 +60,40 @@ def test_error_column_null_on_clean_input(spark):
     assert all(r["error"] is None for r in out)
 
 
+def test_stateful_host_counter(spark, tmp_path_factory):
+    from doclayout_yolo_spark.streaming import (
+        read_pages_stream,
+        stateful_host_counter,
+    )
+
+    base = tmp_path_factory.mktemp("stateful")
+    in_dir, ckpt = str(base / "in"), str(base / "ckpt")
+    pdf = generate_pages_pandas(30)
+    df = spark.createDataFrame(pdf, schema=PAGES_DDL)
+    df.repartition(3).write.parquet(in_dir)
+
+    stream = read_pages_stream(spark, in_dir, max_files_per_trigger=1)
+    counted = stateful_host_counter(stream)
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("host_counts")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # final state per host (last update wins) must equal the batch counts
+    rows = spark.sql(
+        "select host, max(n_pages) as n from host_counts group by host"
+    ).collect()
+    got = {r["host"]: r["n"] for r in rows}
+    import collections
+
+    want = collections.Counter(u.split("/")[2] for u in pdf["url"])
+    assert got == dict(want)
+
+
 def test_windowed_region_counts_static(spark):
     pdf = generate_pages_pandas(30)
     df = spark.createDataFrame(pdf, schema=PAGES_DDL)
