@@ -122,15 +122,38 @@ def nms(
     if n == 0:
         return np.empty(0, dtype=np.int64)
     order = np.argsort(-scores, kind="stable")
-    iou = box_iou(boxes, boxes)
-    keep: list[int] = []
-    suppressed = np.zeros(n, dtype=bool)
-    for i in order:
-        if suppressed[i]:
+    if n <= 2048:
+        # fast path: one vectorized n x n IoU (<= 16 MB) beats a python
+        # loop for typical per-document anchor counts
+        iou = box_iou(boxes, boxes)
+        keep: list[int] = []
+        suppressed = np.zeros(n, dtype=bool)
+        for i in order:
+            if suppressed[i]:
+                continue
+            keep.append(int(i))
+            suppressed |= iou[i] > iou_thres
+            suppressed[i] = True  # self (already kept)
+        return np.asarray(keep, dtype=np.int64)
+    # memory-safe path for pathological pages: IoU computed lazily for
+    # kept boxes vs the lower-scored tail — O(keep * n) work, O(n)
+    # memory (at the 30k pre-NMS cap a full matrix would be 3.6 GB)
+    b = boxes[order]
+    areas = box_area(b)
+    alive = np.ones(n, dtype=bool)
+    keep = []
+    eps = np.float32(1e-7)
+    for i in range(n):
+        if not alive[i]:
             continue
-        keep.append(int(i))
-        suppressed |= iou[i] > iou_thres
-        suppressed[i] = True  # self (already kept)
+        keep.append(int(order[i]))
+        tail = b[i + 1 :]
+        lt = np.maximum(b[i, :2], tail[:, :2])
+        rb = np.minimum(b[i, 2:4], tail[:, 2:4])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[:, 0] * wh[:, 1]
+        iou = inter / (areas[i] + areas[i + 1 :] - inter + eps)
+        alive[i + 1 :] &= ~(iou > iou_thres)
     return np.asarray(keep, dtype=np.int64)
 
 
