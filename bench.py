@@ -63,15 +63,20 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     total = 0.0
     for name in HEADLINE:
         fn, _sql = ALL_QUERIES[name]
-        best = float("inf")
-        for _ in range(2):  # best-of-2: the host is an oversubscribed VM
-            t0 = time.time()
-            _force(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
+        runs = []
+        for _ in range(3):  # mean±std protocol (reference
+            t0 = time.time()  # evaluate_comprehensive.py:117-147 analog);
+            _force(fn(spark, sf_dir))  # best reported: host is an
+            runs.append(time.time() - t0)  # oversubscribed VM
+        best = min(runs)
+        mean = sum(runs) / len(runs)
+        std = (sum((r - mean) ** 2 for r in runs) / len(runs)) ** 0.5
         timings[name] = round(best, 3)
+        stats[name] = {"mean": round(mean, 3), "std": round(std, 3)}
         total += best
 
     # end-to-end extraction throughput over the Common-Crawl-style
@@ -99,6 +104,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "query_stats": stats,
                 "sf": sf,
                 "extraction_docs_per_sec": round(docs_per_sec, 1),
                 "extraction_n_pages": N_BENCH_PAGES,

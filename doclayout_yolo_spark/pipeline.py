@@ -190,6 +190,35 @@ def completed_buckets(spark: SparkSession, output_path: str) -> DataFrame | None
         return None
 
 
+def _reconcile_orphans(spark: SparkSession, output_path: str) -> list[int]:
+    """Close the crash window between data commit and manifest commit:
+    a job killed after ``data`` was written but before the manifest row
+    landed would otherwise reprocess those buckets on resume and
+    duplicate rows.  On start we delete any data partition directory
+    whose bucket is NOT in the manifest (idempotent repair — the bucket
+    is then re-extracted deterministically).  With a real Iceberg
+    catalog, data + manifest share one atomic snapshot commit and this
+    step disappears."""
+    import shutil  # noqa: PLC0415
+
+    dp = data_path(output_path)
+    if not os.path.isdir(dp):
+        return []
+    done = completed_buckets(spark, output_path)
+    done_ids = (
+        {r["part_id"] for r in done.collect()} if done is not None else set()
+    )
+    orphans = []
+    for name in os.listdir(dp):
+        if not name.startswith("part_id="):
+            continue
+        pid = int(name.split("=", 1)[1])
+        if pid not in done_ids:
+            shutil.rmtree(os.path.join(dp, name), ignore_errors=True)
+            orphans.append(pid)
+    return sorted(orphans)
+
+
 def run_extraction_job(
     spark: SparkSession,
     pages: DataFrame,
@@ -203,10 +232,14 @@ def run_extraction_job(
     Resume semantics (P13): buckets listed in the manifest are skipped
     via a broadcast LEFT ANTI JOIN — re-running after a partial failure
     processes only unfinished buckets and never duplicates a row.
-    ``bucket_filter`` (a Column predicate on part_id) exists for the
-    kill/resume test to simulate a mid-job crash.
+    Data directories for buckets missing from the manifest (crash
+    between data and manifest commit) are deleted up front, so the
+    pair behaves atomically.  ``bucket_filter`` (a Column predicate on
+    part_id) exists for the kill/resume test to simulate a mid-job
+    crash.
     """
     sc = spark.sparkContext
+    orphans = _reconcile_orphans(spark, output_path)
     lineage_acc = sc.accumulator([], _ListAccum())
 
     bucketed = with_part_id(pages.select("url", "html"), n_buckets)
@@ -253,6 +286,7 @@ def run_extraction_job(
     return {
         "n_docs": n_docs,
         "n_buckets_processed": len(processed),
+        "n_orphan_buckets_repaired": len(orphans),
         "wall_s": wall,
         "docs_per_sec": n_docs / wall if wall > 0 else 0.0,
     }

@@ -111,6 +111,35 @@ def test_run_job_and_resume(spark, pages_df, tmp_path_factory, golden):
     assert lineage.filter(F.col("bytes_in") <= 0).count() == 0
 
 
+def test_orphan_bucket_reconciliation(spark, pages_df, tmp_path_factory):
+    """Crash between data commit and manifest commit: the orphaned data
+    partition must be deleted and re-extracted on resume — no
+    duplicates, no missing urls."""
+    import os
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("orphan"))
+    run_extraction_job(spark, pages_df, out, n_buckets=8)
+    data_dir = f"{out}/data"
+    manifest_dir = f"{out}/_manifest"
+    # simulate the crash window: bucket 3's manifest rows vanish while
+    # its data remains (equivalently: data landed, manifest write died)
+    m = spark.read.parquet(manifest_dir).filter(F.col("part_id") != 3)
+    rows = m.collect()
+    shutil.rmtree(manifest_dir)
+    spark.createDataFrame(
+        rows, schema="part_id int, kernel_version string"
+    ).write.parquet(manifest_dir)
+    assert os.path.isdir(f"{data_dir}/part_id=3")
+
+    stats = run_extraction_job(spark, pages_df, out, n_buckets=8)
+    assert stats["n_orphan_buckets_repaired"] == 1
+    assert stats["n_buckets_processed"] == 1  # only bucket 3 redone
+    res = read_extracted(spark, out)
+    assert res.count() == N_PAGES
+    assert res.select("url").distinct().count() == N_PAGES
+
+
 def test_golden_matches_job_output(spark, pages_df, tmp_path_factory, golden):
     out = str(tmp_path_factory.mktemp("job"))
     run_extraction_job(spark, pages_df, out, n_buckets=8)
