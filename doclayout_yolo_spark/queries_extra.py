@@ -34,6 +34,32 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def rollup_ship_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.year(F.col("l_shipdate")).cast("long").alias("ship_year"),
+            "l_returnflag",
+            "l_quantity",
+        )
+        .rollup("ship_year", "l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (ship_year, l_returnflag)
+"""
+
+
 # --- set difference (EXCEPT) ----------------------------------------------------
 
 def customers_minus_eventusers(spark, sf_dir):
@@ -321,6 +347,7 @@ EXTRA_QUERIES = {
     "max_f1_threshold": (max_f1_threshold, MAX_F1_SQL),
     "clean_str_sample": (clean_str_sample, CLEAN_STR_SQL),
     "cube_order_stats": (cube_order_stats, CUBE_SQL),
+    "rollup_ship_stats": (rollup_ship_stats, ROLLUP_SQL),
     "customers_minus_eventusers": (customers_minus_eventusers, EXCEPT_SQL),
     "event_value_percentiles": (event_value_percentiles, PERCENTILE_SQL),
     "asof_click_before_purchase": (asof_click_before_purchase, ASOF_SQL),
