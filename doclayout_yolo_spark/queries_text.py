@@ -383,6 +383,95 @@ SELECT doc_id, CAST({_SIM_VAL} AS BIGINT) AS simhash FROM sums
 """
 
 
+# --- near-dup clustering: connected components over Jaccard pairs ---------------
+
+MAX_CC_ITERS = 20
+
+
+def dedup_clusters(spark, sf_dir):
+    """Group near-duplicate documents into clusters: connected
+    components over the Jaccard>=threshold pair graph via iterative
+    min-label propagation (pure DataFrame joins — the pattern that
+    scales to billions of edges where a driver-side union-find cannot;
+    converges in O(log n) rounds on dedup-shaped graphs).  Output:
+    (doc_id, cluster_id = min doc_id of the component)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    edges.cache()
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(MAX_CC_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "cluster_id")
+
+
+CLUSTERS_SQL = f"""
+WITH RECURSIVE sh AS ({_SHINGLES_DUCK}),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN counts ca ON doc_a = ca.doc_id
+  JOIN counts cb ON doc_b = cb.doc_id
+  WHERE inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+  UNION
+  SELECT doc_a, doc_a FROM pairs
+  UNION
+  SELECT doc_b, doc_b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
 TEXT_QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
@@ -390,6 +479,7 @@ TEXT_QUERIES = {
     "quality_score": (quality_score, QUALITY_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, JACCARD_SQL),
+    "dedup_clusters": (dedup_clusters, CLUSTERS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
     "simhash": (simhash, SIMHASH_SQL),
 }
