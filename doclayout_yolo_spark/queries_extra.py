@@ -319,6 +319,70 @@ SELECT event_type, thr, f1 FROM (
 """
 
 
+# --- C3: letterbox unscale (exact odd constants, ops.py:89-124) -----------------
+
+LB_FROM_H, LB_FROM_W = 640.0, 640.0
+LB_TO_H, LB_TO_W = 1000.0, 800.0
+
+
+def letterbox_unscale(spark, sf_dir):
+    """scale_boxes as a relational expression with the reference's
+    exact constants: gain = min(h1/h0, w1/w0), pad = round((s1 -
+    s0*gain)/2 - 0.1), subtract pad, divide by gain, clip (utils/
+    ops.py:89-124).  Derived boxes live in the 640x640 letterboxed
+    frame; output is in the 1000x800 original frame."""
+    from .queries_detect import _derived_dets  # noqa: PLC0415
+
+    gain = min(LB_FROM_H / LB_TO_H, LB_FROM_W / LB_TO_W)
+    pad_w = round((LB_FROM_W - LB_TO_W * gain) / 2 - 0.1)
+    pad_h = round((LB_FROM_H - LB_TO_H * gain) / 2 - 0.1)
+    d = _derived_dets(spark, sf_dir)
+    # shrink derived boxes into the 640-frame
+    x1 = (F.col("cx") - F.col("w") / 2.0) * 0.64
+    y1 = (F.col("cy") - F.col("h") / 2.0) * 0.64
+    x2 = (F.col("cx") + F.col("w") / 2.0) * 0.64
+    y2 = (F.col("cy") + F.col("h") / 2.0) * 0.64
+    unscale_x = lambda c: F.greatest(  # noqa: E731
+        F.lit(0.0), F.least(F.lit(LB_TO_W), (c - pad_w) / gain)
+    )
+    unscale_y = lambda c: F.greatest(  # noqa: E731
+        F.lit(0.0), F.least(F.lit(LB_TO_H), (c - pad_h) / gain)
+    )
+    return d.select(
+        "doc",
+        "det_id",
+        F.round(unscale_x(x1), 5).alias("x1"),
+        F.round(unscale_y(y1), 5).alias("y1"),
+        F.round(unscale_x(x2), 5).alias("x2"),
+        F.round(unscale_y(y2), 5).alias("y2"),
+    )
+
+
+def _letterbox_sql() -> str:
+    gain = min(LB_FROM_H / LB_TO_H, LB_FROM_W / LB_TO_W)
+    pad_w = round((LB_FROM_W - LB_TO_W * gain) / 2 - 0.1)
+    pad_h = round((LB_FROM_H - LB_TO_H * gain) / 2 - 0.1)
+    return f"""
+WITH d AS (
+  SELECT user_id % 50 AS doc, event_id AS det_id,
+         CAST((event_id * 37) % 800 + 50 AS DOUBLE) AS cx,
+         CAST((event_id * 53) % 800 + 50 AS DOUBLE) AS cy,
+         CAST((event_id * 7) % 300 + 100 AS DOUBLE) AS w,
+         CAST((event_id * 11) % 240 + 80 AS DOUBLE) AS h
+  FROM events
+)
+SELECT doc, det_id,
+  ROUND(GREATEST(0.0, LEAST({LB_TO_W}, ((cx - w/2.0) * 0.64 - {pad_w}) / {gain})), 5) AS x1,
+  ROUND(GREATEST(0.0, LEAST({LB_TO_H}, ((cy - h/2.0) * 0.64 - {pad_h}) / {gain})), 5) AS y1,
+  ROUND(GREATEST(0.0, LEAST({LB_TO_W}, ((cx + w/2.0) * 0.64 - {pad_w}) / {gain})), 5) AS x2,
+  ROUND(GREATEST(0.0, LEAST({LB_TO_H}, ((cy + h/2.0) * 0.64 - {pad_h}) / {gain})), 5) AS y2
+FROM d
+"""
+
+
+LETTERBOX_SQL = _letterbox_sql()
+
+
 # --- C7: clean_str ------------------------------------------------------------
 
 def clean_str_sample(spark, sf_dir):
@@ -346,6 +410,7 @@ EXTRA_QUERIES = {
     "coordinate_views": (coordinate_views, COORD_VIEWS_SQL),
     "max_f1_threshold": (max_f1_threshold, MAX_F1_SQL),
     "clean_str_sample": (clean_str_sample, CLEAN_STR_SQL),
+    "letterbox_unscale": (letterbox_unscale, LETTERBOX_SQL),
     "cube_order_stats": (cube_order_stats, CUBE_SQL),
     "rollup_ship_stats": (rollup_ship_stats, ROLLUP_SQL),
     "customers_minus_eventusers": (customers_minus_eventusers, EXCEPT_SQL),
