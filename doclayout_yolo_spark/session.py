@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # zstd: ~30% smaller than snappy on text-heavy columns at
+        # comparable CPU — at 100 TB the scan is IO-bound, so this is
+        # a direct throughput lever for downstream readers
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
