@@ -233,7 +233,10 @@ _TAG_RE = re.compile(
     r"|<!(?:[^>]*)>"
     r"|<\?(?:[^>]*)>"
     r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)"
-    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"
+    # attribute grammar mirrors html.parser's tolerant scanner: quotes
+    # delimit values only right after '=' (so '>' inside quoted values
+    # is fine, but a stray unpaired quote is junk-attr, not a span)
+    r"((?:[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?|\s+|/(?!\s*>))*)"
     r"(/?)\s*>",
     re.S,
 )

@@ -330,7 +330,77 @@ def refine_region_scores(spark, sf_dir):
     return refine_regions(out)
 
 
+def label_verify(spark, sf_dir):
+    """S9: YOLO label scan + verify (data/utils.py:166-224 semantics):
+    derive 5-col normalized labels, keep rows with all coords in [0,1]
+    and cls < nc, drop duplicate rows."""
+    ev = _events(spark, sf_dir)
+    e = F.col("event_id")
+    labels = ev.select(
+        (F.col("user_id") % 50).alias("doc"),
+        F.floor((e % 20) / 2.0).alias("cls"),
+        # some rows deliberately out of range (the verifier must drop them)
+        (((e * 29) % 1200) / 1000.0).alias("cx"),
+        (((e * 31) % 1000) / 1000.0).alias("cy"),
+        (((e * 17) % 400 + 50) / 1000.0).alias("w"),
+        (((e * 19) % 300 + 50) / 1000.0).alias("h"),
+    )
+    ok = labels.filter(
+        (F.col("cx") >= 0) & (F.col("cx") <= 1)
+        & (F.col("cy") >= 0) & (F.col("cy") <= 1)
+        & (F.col("w") > 0) & (F.col("w") <= 1)
+        & (F.col("h") > 0) & (F.col("h") <= 1)
+        & (F.col("cls") < 10)
+    ).dropDuplicates()
+    return ok.groupBy("doc").agg(F.count("*").alias("n_valid_labels"))
+
+
+LABEL_VERIFY_SQL = """
+WITH labels AS (
+  SELECT DISTINCT user_id % 50 AS doc,
+         FLOOR((event_id % 20) / 2.0) AS cls,
+         ((event_id * 29) % 1200) / 1000.0 AS cx,
+         ((event_id * 31) % 1000) / 1000.0 AS cy,
+         ((event_id * 17) % 400 + 50) / 1000.0 AS w,
+         ((event_id * 19) % 300 + 50) / 1000.0 AS h
+  FROM events
+)
+SELECT doc, COUNT(*) AS n_valid_labels
+FROM labels
+WHERE cx BETWEEN 0 AND 1 AND cy BETWEEN 0 AND 1
+  AND w > 0 AND w <= 1 AND h > 0 AND h <= 1 AND cls < 10
+GROUP BY doc
+"""
+
+
+def class_histogram_padded(spark, sf_dir):
+    """A2: targets-per-class histogram right-padded with zero rows for
+    absent classes (np.bincount(minlength=nc) analog: class-dim join)."""
+    d = _derived_dets(spark, sf_dir).filter(F.col("conf") > 0.9)
+    counts = d.groupBy("cls").agg(F.count("*").alias("n"))
+    classes = spark.range(10).select(F.col("id").alias("cls"))
+    return (
+        classes.join(counts, "cls", "left")
+        .select("cls", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+
+
+CLASS_HIST_SQL = """
+WITH d AS (
+  SELECT FLOOR((event_id % 20) / 2.0) AS cls,
+         ((event_id * 13) % 100) / 100.0 AS conf
+  FROM events
+),
+counts AS (SELECT cls, COUNT(*) AS n FROM d WHERE conf > 0.9 GROUP BY cls)
+SELECT r.cls, COALESCE(counts.n, 0) AS n
+FROM (SELECT CAST(i AS BIGINT) AS cls FROM range(10) t(i)) r
+LEFT JOIN counts ON r.cls = counts.cls
+"""
+
+
 DETECT_QUERIES = {
+    "label_verify": (label_verify, LABEL_VERIFY_SQL),
+    "class_histogram_padded": (class_histogram_padded, CLASS_HIST_SQL),
     "det_postprocess_sql": (det_postprocess_sql, DET_POSTPROCESS_SQL),
     "det_iou_best_match": (det_iou_best_match, DET_IOU_SQL),
     "det_grouped_postprocess": (det_grouped_postprocess, None),
