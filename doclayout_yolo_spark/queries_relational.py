@@ -390,7 +390,40 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+# --- correlated scalar subquery (TPC-H q17 shape; Catalyst decorrelates) -----
+
+def small_quantity_revenue(spark, sf_dir):
+    """Average yearly revenue lost to small orders: lineitems whose
+    quantity is below 20% of the per-part average (the correlated
+    scalar-subquery pattern, rendered as a join with a per-part
+    aggregate — what Catalyst decorrelation produces)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7.0)
+            .alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.2 * AVG(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
+)
+"""
+
+
 RELATIONAL_QUERIES = {
+    "small_quantity_revenue": (small_quantity_revenue, Q17_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
