@@ -64,7 +64,9 @@ _DERIVED_DUCK = """
          CAST((event_id * 7) % 300 + 100 AS DOUBLE) AS w,
          CAST((event_id * 11) % 240 + 80 AS DOUBLE) AS h,
          ((event_id * 13) % 100) / 100.0 AS conf,
-         FLOOR((event_id % 20) / 2.0) AS cls
+         -- Spark F.floor -> BIGINT; DuckDB FLOOR -> DOUBLE. Cast so the
+         -- value hash matches when cls reaches the output.
+         CAST(FLOOR((event_id % 20) / 2.0) AS BIGINT) AS cls
   FROM events
 """
 

@@ -25,6 +25,26 @@ def _dec(c):
     return c.cast("decimal(18,4)")
 
 
+def _money(price, *factors):
+    """Decimal-first money product: cast each factor to decimal BEFORE
+    multiplying, then round the exact decimal product back to 4 dp.
+
+    Casting the fused double product (e.g. 79589.20165...) to decimal is
+    engine-ambiguous: DuckDB goes via the shortest decimal string + half-even,
+    Spark via the exact binary value + HALF_UP — ~0.7% of rows differ by 1e-4.
+    The source columns carry exactly 2 decimal digits, so the per-factor casts
+    are unambiguous, the decimal product is exact in both engines, and the
+    final ROUND(x, 4) rounds an EXACT decimal half-away-from-zero in BOTH
+    engines (a decimal->decimal CAST would NOT work: DuckDB truncates on
+    scale-reducing casts while Spark rounds HALF_UP). Mirror in SQL as
+    ROUND(CAST(p AS DECIMAL(18,4)) * CAST(f AS DECIMAL(9,4)), 4).
+    """
+    out = price.cast("decimal(18,4)")
+    for f in factors:
+        out = out * f.cast("decimal(9,4)")
+    return F.round(out, 4)
+
+
 # --- A1/A8 analog: grouped aggregation (pricing summary) -------------------
 
 def q1_pricing_summary(spark, sf_dir):
@@ -35,14 +55,14 @@ def q1_pricing_summary(spark, sf_dir):
         .agg(
             F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
             F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            F.sum(_money(F.col("l_extendedprice"), 1 - F.col("l_discount")))
             .cast("double")
             .alias("sum_disc_price"),
             F.sum(
-                _dec(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
+                _money(
+                    F.col("l_extendedprice"),
+                    1 - F.col("l_discount"),
+                    1 + F.col("l_tax"),
                 )
             )
             .cast("double")
@@ -58,8 +78,8 @@ Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(9,4)), 4)) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(9,4)) * CAST(1 + l_tax AS DECIMAL(9,4)), 4)) AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
@@ -79,7 +99,7 @@ def q3_top_orders(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(
-            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            F.sum(_money(F.col("l_extendedprice"), 1 - F.col("l_discount")))
             .cast("double")
             .alias("revenue")
         )
@@ -90,7 +110,7 @@ def q3_top_orders(spark, sf_dir):
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(9,4)), 4)) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -124,7 +144,7 @@ def q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            F.sum(_money(F.col("l_extendedprice"), 1 - F.col("l_discount")))
             .cast("double")
             .alias("revenue")
         )
@@ -133,7 +153,7 @@ def q5_region_revenue(spark, sf_dir):
 
 Q5_SQL = """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(9,4)), 4)) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -161,7 +181,7 @@ def q6_forecast(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+            F.sum(_money(F.col("l_extendedprice"), F.col("l_discount")))
             .cast("double")
             .alias("revenue"),
             F.count("*").alias("n_rows"),
@@ -170,7 +190,7 @@ def q6_forecast(spark, sf_dir):
 
 
 Q6_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+SELECT CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(9,4)), 4)) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -435,7 +455,7 @@ def returned_item_revenue(spark, sf_dir):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            F.sum(_money(F.col("l_extendedprice"), 1 - F.col("l_discount")))
             .cast("double")
             .alias("revenue")
         )
@@ -446,7 +466,7 @@ def returned_item_revenue(spark, sf_dir):
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(9,4)), 4)) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -477,7 +497,7 @@ def disjunctive_revenue(spark, sf_dir):
         & (F.col("l_quantity") <= 30)
     )
     return joined.filter(branch1 | branch2).agg(
-        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        F.sum(_money(F.col("l_extendedprice"), 1 - F.col("l_discount")))
         .cast("double")
         .alias("revenue"),
         F.count("*").alias("n_rows"),
@@ -485,7 +505,7 @@ def disjunctive_revenue(spark, sf_dir):
 
 
 Q19_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+SELECT CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(9,4)), 4)) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 5 AND 20)

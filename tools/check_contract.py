@@ -26,7 +26,9 @@ def normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        # full precision: the driver hashes exact values, so 9 sig figs
+        # here would hide mismatches the driver catches
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()[:26].rstrip("0")
     return str(v)
