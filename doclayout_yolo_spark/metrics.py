@@ -57,11 +57,18 @@ def greedy_match(
             continue
         order = np.argsort(-iou[gi, di], kind="stable")
         gi, di = gi[order], di[order]
-        # dedup by detection, then by label (each matched at most once)
+        # dedup by detection, then by label (each matched at most once).
+        # np.unique(return_index=True) keeps the FIRST occurrence per value
+        # (= highest IoU, array is IoU-desc) and emits rows ordered by the
+        # deduped value ascending — so the gt dedup sees detections in
+        # det-index-ascending order and keeps the LOWEST-index detection
+        # per gt, exactly like the reference's
+        # matches[np.unique(matches[:,1], return_index=True)[1]] chain
+        # (validator.py:249-289).  Do NOT re-sort to IoU order in between.
         _, keep_d = np.unique(di, return_index=True)
-        gi, di = gi[np.sort(keep_d)], di[np.sort(keep_d)]
+        gi, di = gi[keep_d], di[keep_d]
         _, keep_g = np.unique(gi, return_index=True)
-        gi, di = gi[np.sort(keep_g)], di[np.sort(keep_g)]
+        gi, di = gi[keep_g], di[keep_g]
         tp[di, ti] = True
     return tp
 
@@ -123,57 +130,59 @@ def ap_interp(recall: np.ndarray, precision: np.ndarray) -> float:
     return float(np.trapz(np.interp(x, r, p), x))
 
 
-def ap_per_class(
-    matches: DataFrame, gt_counts: dict[int, int]
-) -> pd.DataFrame:
-    """match table -> per-(cls, iou_threshold) AP.
+AP_DDL = "cls long, iou_idx int, iou_thr double, ap double"
 
-    The heavy part (per-detection cumsum ordering) is a Spark window;
-    the final 101-point integral runs on the small per-class curves.
-    Returns pandas (cls, iou_idx, ap) + summary rows via `summarize`.
+
+def ap_per_class(matches: DataFrame, gt_counts: dict[int, int]) -> DataFrame:
+    """match table -> per-(cls, iou_threshold) AP, fully distributed.
+
+    One shuffle (hash on cls); each class's curve (sort by conf desc,
+    cumsum, 101-point integral) runs inside ``applyInPandas`` — never a
+    per-detection driver collect, so 10^8 detections reduce to
+    nc x 10 rows executor-side.  Classes that have ground-truth labels
+    but ZERO detections still contribute ap=0 rows (the reference
+    zero-initializes ap over unique target classes, utils/metrics.py
+    ap_per_class), otherwise mAP is inflated.
     """
     t = len(IOU_THRESHOLDS)
-    from pyspark.sql import Window as W  # noqa: PLC0415
+    gt_b = {int(k): int(v) for k, v in gt_counts.items() if int(v) > 0}
 
-    w = (
-        W.partitionBy("cls")
-        .orderBy(F.desc("conf"), F.asc("doc"), F.asc("det_id"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    cum = matches.select(
-        "cls",
-        "conf",
-        "doc",
-        "det_id",
-        *[
-            F.sum(F.col(f"tp{i}").cast("int")).over(w).alias(f"ctp{i}")
-            for i in range(t)
-        ],
-        F.count("*").over(w).alias("n_preds"),
-    )
-    pdf = cum.toPandas()  # one row per detection: small at fixture scale
-    rows = []
-    for cls, grp in pdf.groupby("cls"):
-        n_gt = gt_counts.get(int(cls), 0)
+    def _ap_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cls = int(key[0])
+        n_gt = gt_b.get(cls, 0)
+        cols = {"cls": [], "iou_idx": [], "iou_thr": [], "ap": []}
         if n_gt == 0:
-            continue
-        grp = grp.sort_values(
+            # detections for a class with no ground truth: all FP, AP
+            # undefined -> excluded (reference only loops gt classes)
+            return pd.DataFrame(cols)
+        pdf = pdf.sort_values(
             ["conf", "doc", "det_id"], ascending=[False, True, True]
         )
+        npreds = np.arange(1, len(pdf) + 1, dtype=np.float64)
         for i in range(t):
-            ctp = grp[f"ctp{i}"].to_numpy(dtype=np.float64)
-            npreds = grp["n_preds"].to_numpy(dtype=np.float64)
-            recall = ctp / n_gt
-            precision = ctp / npreds
-            rows.append(
-                {
-                    "cls": int(cls),
-                    "iou_idx": i,
-                    "iou_thr": float(IOU_THRESHOLDS[i]),
-                    "ap": ap_interp(recall, precision),
-                }
-            )
-    return pd.DataFrame(rows)
+            ctp = pdf[f"tp{i}"].to_numpy(dtype=np.float64).cumsum()
+            cols["cls"].append(cls)
+            cols["iou_idx"].append(i)
+            cols["iou_thr"].append(float(IOU_THRESHOLDS[i]))
+            cols["ap"].append(ap_interp(ctp / n_gt, ctp / npreds))
+        return pd.DataFrame(cols)
+
+    ap = matches.groupBy("cls").applyInPandas(_ap_group, schema=AP_DDL)
+    # gt classes with zero detections never reach the kernel: union ap=0
+    # rows for them (anti-join keeps this distributed and tiny)
+    spark = matches.sparkSession
+    zeros = spark.createDataFrame(
+        [
+            (int(c), i, float(IOU_THRESHOLDS[i]), 0.0)
+            for c in sorted(gt_b)
+            for i in range(t)
+        ],
+        schema=AP_DDL,
+    )
+    missing = zeros.join(
+        matches.select("cls").distinct(), "cls", "left_anti"
+    )
+    return ap.unionByName(missing)
 
 
 def summarize(ap_df: pd.DataFrame) -> dict:

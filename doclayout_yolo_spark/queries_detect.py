@@ -24,6 +24,8 @@ which gives the full pipeline a value-hash SQL oracle.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -185,6 +187,10 @@ GROUPED_DDL = "doc long, x1 double, y1 double, x2 double, y2 double, conf double
 def _grouped_kernel(pdf):
     import pandas as pd  # noqa: PLC0415
 
+    # applyInPandas delivers group rows in shuffle-arrival order; the
+    # kernel's tie-breaks pin on input (anchor) index, so sort by det_id
+    # first to make the output value-deterministic across runs
+    pdf = pdf.sort_values("det_id")
     doc = int(pdf["doc"].iloc[0])
     boxes = pdf[["cx", "cy", "w", "h"]].to_numpy(dtype=np.float32)
     nc = 10
@@ -294,9 +300,10 @@ FROM base
 
 def detection_map(spark, sf_dir):
     """Full mAP pipeline over derived dets/gts (greedy IoU match ->
-    window cumsum -> 101-pt AP) — greedy NMS-style matching is not
-    SQL-expressible, so this is a rows-only check; the pipeline is
-    oracle-tested against NumPy in tests/test_metrics.py."""
+    per-class distributed AP reduction, 101-pt interpolation).  Greedy
+    matching is not SQL-expressible, so the oracle is a golden snapshot
+    generated from the pytest-trusted NumPy path
+    (tools/gen_golden_oracles.py -> tests/golden/sf0.01/)."""
     from .metrics import ap_per_class, match_table  # noqa: PLC0415
 
     d = _derived_dets(spark, sf_dir)
@@ -318,8 +325,7 @@ def detection_map(spark, sf_dir):
         int(r["cls"]): r["n"]
         for r in gts.groupBy("cls").agg(F.count("*").alias("n")).collect()
     }
-    ap_pdf = ap_per_class(match_table(dets, gts), gt_counts)
-    return spark.createDataFrame(ap_pdf)
+    return ap_per_class(match_table(dets, gts), gt_counts)
 
 
 def refine_region_scores(spark, sf_dir):
@@ -400,14 +406,37 @@ LEFT JOIN counts ON r.cls = counts.cls
 """
 
 
+# Golden-snapshot oracles for the non-SQL-expressible queries (greedy
+# NMS / greedy matching / frozen MLP): expected outputs generated ONCE
+# by the pytest-trusted single-process NumPy path over the deterministic
+# sf0.01 testdata (tools/gen_golden_oracles.py), stored as parquet, read
+# back by DuckDB.  Valid for the driver's sf=0.01 correctness gate only.
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "golden", "sf0.01",
+)
+
+
+def _golden_sql(name: str) -> str:
+    return (
+        f"SELECT * FROM parquet_scan('{_GOLDEN_DIR}/{name}.parquet')"
+    )
+
+
 DETECT_QUERIES = {
     "label_verify": (label_verify, LABEL_VERIFY_SQL),
     "class_histogram_padded": (class_histogram_padded, CLASS_HIST_SQL),
     "det_postprocess_sql": (det_postprocess_sql, DET_POSTPROCESS_SQL),
     "det_iou_best_match": (det_iou_best_match, DET_IOU_SQL),
-    "det_grouped_postprocess": (det_grouped_postprocess, None),
+    "det_grouped_postprocess": (
+        det_grouped_postprocess,
+        _golden_sql("det_grouped_postprocess"),
+    ),
     "extract_pages": (extract_pages_flagship, FLAGSHIP_SQL),
     "extract_region_rows": (extract_region_rows, REGION_ROWS_SQL),
-    "detection_map": (detection_map, None),
-    "refine_region_scores": (refine_region_scores, None),
+    "detection_map": (detection_map, _golden_sql("detection_map")),
+    "refine_region_scores": (
+        refine_region_scores,
+        _golden_sql("refine_region_scores"),
+    ),
 }

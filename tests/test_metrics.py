@@ -35,13 +35,16 @@ def test_greedy_match_hand_case():
 
 
 def test_greedy_match_each_side_once():
-    # two dets both overlapping one gt: only the higher-IoU det wins
+    # two dets both overlapping one gt: exactly one wins (each side
+    # matched at most once); the winner is the lowest det index, per
+    # the reference's np.unique gt-dedup (see
+    # test_greedy_match_gt_dedup_keeps_lowest_det_index)
     det = np.array([[0, 0, 10, 10], [0, 0, 10, 11]], dtype=np.float32)
     det_cls = np.array([1, 1])
     gt = np.array([[0, 0, 10, 11]], dtype=np.float32)
     gt_cls = np.array([1])
     tp = greedy_match(det, det_cls, gt, gt_cls)
-    assert tp[1, 0] and not tp[0, 0]
+    assert tp[:, 0].sum() == 1 and tp[0, 0]
 
 
 def _fixture(n_docs=12, seed=3):
@@ -120,7 +123,7 @@ def test_spark_map_matches_numpy_oracle(spark):
     dets = spark.createDataFrame(det_pdf)
     gts = spark.createDataFrame(gt_pdf)
     matches = match_table(dets, gts)
-    ap_df = ap_per_class(matches, gt_counts)
+    ap_df = ap_per_class(matches, gt_counts).toPandas()
     oracle = _numpy_oracle(det_pdf, gt_pdf, gt_counts)
     assert len(ap_df) == len(oracle)
     for _, row in ap_df.iterrows():
@@ -140,10 +143,48 @@ def test_perfect_detections_give_ap_one(spark):
     det_pdf["conf"] = [0.9, 0.8]
     dets = spark.createDataFrame(det_pdf)
     gts = spark.createDataFrame(gt_pdf)
-    ap_df = ap_per_class(match_table(dets, gts), {1: 1, 2: 1})
+    ap_df = ap_per_class(match_table(dets, gts), {1: 1, 2: 1}).toPandas()
     s = summarize(ap_df)
     # the appended (recall=1, precision=0) sentinel + duplicate-x
     # np.interp behavior caps "perfect" AP just under 1.0 — identical
     # to the reference's 101-point formula, so pin ~0.99, not 1.0
     assert s["map50"] > 0.99
     assert s["map50_95"] > 0.99
+
+
+def test_gt_only_class_counts_as_ap_zero(spark):
+    # class 7 has ground truth but zero detections: the reference
+    # zero-initializes ap over unique target classes, so it must appear
+    # with ap=0 for every threshold (and drag the mAP mean down).
+    gt_pdf = pd.DataFrame(
+        [("d0", 0, 10.0, 10.0, 100.0, 100.0, 1),
+         ("d0", 1, 200.0, 200.0, 300.0, 320.0, 7)],
+        columns=["doc", "gt_id", "x1", "y1", "x2", "y2", "cls"],
+    )
+    det_pdf = pd.DataFrame(
+        [("d0", 0, 10.0, 10.0, 100.0, 100.0, 0.9, 1)],
+        columns=["doc", "det_id", "x1", "y1", "x2", "y2", "conf", "cls"],
+    )
+    ap_df = ap_per_class(
+        match_table(spark.createDataFrame(det_pdf), spark.createDataFrame(gt_pdf)),
+        {1: 1, 7: 1},
+    ).toPandas()
+    cls7 = ap_df[ap_df["cls"] == 7]
+    assert len(cls7) == len(IOU_THRESHOLDS)
+    assert (cls7["ap"] == 0.0).all()
+    s = summarize(ap_df)
+    assert s["map50"] < 0.6  # (≈1 + 0) / 2
+
+
+def test_greedy_match_gt_dedup_keeps_lowest_det_index():
+    # two same-class dets, each individually matched after det-dedup,
+    # both claiming the SAME gt: the reference keeps the lowest det
+    # index (np.unique value-ordering), not the higher-IoU one.
+    # det0: IoU(gt0)=10/12≈0.833. det1: IoU(gt0)=11/12≈0.917 (higher).
+    det = np.array([[0, 0, 10, 10], [0, 0, 10, 11]], dtype=np.float32)
+    det_cls = np.array([1, 1])
+    gt = np.array([[0, 0, 10, 12]], dtype=np.float32)
+    gt_cls = np.array([1])
+    tp = greedy_match(det, det_cls, gt, gt_cls)
+    i05 = 0
+    assert tp[0, i05] and not tp[1, i05]
