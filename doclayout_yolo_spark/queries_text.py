@@ -206,6 +206,13 @@ FROM documents GROUP BY 1
 # --- n-gram Jaccard near-dup pairs ---------------------------------------------
 
 JACCARD_THRESHOLD = 0.6
+# Shingles shared by more than this many documents are boilerplate: they
+# carry no dedup signal but drive the equi-join pair count (sum of df^2
+# over shingles — a 10^6-doc boilerplate shingle alone yields 10^12
+# pairs).  Capping df bounds pairs by MAX_SHINGLE_DF * total_shingle_rows,
+# i.e. linear in the corpus.  At sf0.01 the max observed df is 7, so the
+# cap never fires at fixture scale; it exists for the 100 TB case.
+MAX_SHINGLE_DF = 50
 
 
 def _shingles(spark, sf_dir):
@@ -222,8 +229,26 @@ def _shingles(spark, sf_dir):
     ).distinct()
 
 
-def dedup_ngram_jaccard(spark, sf_dir):
+def _capped_shingles(spark, sf_dir):
+    """Shingles minus the hot (df > MAX_SHINGLE_DF) ones.  The hot list
+    is tiny BY CONSTRUCTION (at most n_shingle_rows / MAX_SHINGLE_DF
+    entries, in practice a handful of boilerplate strings), so it
+    broadcasts and the fence costs one map-side anti-join."""
     sh = _shingles(spark, sf_dir)
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("sh")
+    )
+    return sh.join(F.broadcast(hot), "sh", "left_anti")
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs over the df-capped shingle set (both
+    the intersection join and the per-doc counts use the same filtered
+    set, so the Jaccard stays a true set similarity)."""
+    sh = _capped_shingles(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -256,8 +281,17 @@ _SHINGLES_DUCK = """
   ), UNNEST([concat_ws(' ', w[i+1], w[i+2], w[i+3]) FOR i IN RANGE(0, LENGTH(w) - 2)]) u(sh)
 """
 
+# df-capped shingles (mirrors _capped_shingles)
+_CAPPED_SHINGLES_DUCK = f"""
+  SELECT doc_id, sh FROM all_sh
+  WHERE sh NOT IN (
+    SELECT sh FROM all_sh GROUP BY sh HAVING COUNT(*) > {MAX_SHINGLE_DF}
+  )
+"""
+
 JACCARD_SQL = f"""
-WITH sh AS ({_SHINGLES_DUCK}),
+WITH all_sh AS ({_SHINGLES_DUCK}),
+sh AS ({_CAPPED_SHINGLES_DUCK}),
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -279,7 +313,11 @@ N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
 
 
-def dedup_minhash_lsh(spark, sf_dir):
+def _minhash_bands(spark, sf_dir):
+    """(doc_id, band, h1, h2) rows — ONE signature aggregation, then a
+    narrow ``stack`` to band rows (no per-band union: the round-1 plan
+    recomputed the scan->explode->agg signature subtree 8x, a real
+    constant at 100 TB where the shingle explode dominates)."""
     sh = _shingles(spark, sf_dir)
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -287,26 +325,39 @@ def dedup_minhash_lsh(spark, sf_dir):
             for s in range(N_HASHES)
         ]
     )
-    bands = None
-    for band in range(N_BANDS):
-        b = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.col(f"m{2 * band}").alias("h1"),
-            F.col(f"m{2 * band + 1}").alias("h2"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
-    a = bands.alias("a")
-    c = bands.alias("c")
+    stack_args = ", ".join(
+        f"{band}, m{2 * band}, m{2 * band + 1}" for band in range(N_BANDS)
+    )
+    return sig.select(
+        "doc_id",
+        F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, h1, h2)"),
+    )
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs via bucket grouping: shuffle band
+    rows once on (band, h1, h2), emit i<j pairs inside each bucket.
+    Unlike a bands-self-join this computes the signature once and never
+    materializes two copies of the band table; bucket sizes are small
+    by construction (near-dup groups), so the in-bucket pair expansion
+    is bounded."""
+    bands = _minhash_bands(spark, sf_dir)
+    buckets = (
+        bands.groupBy("band", "h1", "h2")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     return (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("c.band"))
-            & (F.col("a.h1") == F.col("c.h1"))
-            & (F.col("a.h2") == F.col("c.h2"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -331,6 +382,78 @@ SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
 FROM bands a JOIN bands c
   ON a.band = c.band AND a.h1 = c.h1 AND a.h2 = c.h2 AND a.doc_id < c.doc_id
 """
+
+
+
+# --- LSH-restricted exact Jaccard (the 100 TB dedup path) -------------------------
+
+def dedup_jaccard_lsh(spark, sf_dir):
+    """Exact Jaccard verification restricted to MinHash-LSH candidate
+    pairs — the composition that replaces the all-pairs equi-join at
+    scale: the shingle join is driven BY the candidate list (work is
+    |candidates| x shingles-per-doc, not sum-of-df^2), so a corpus
+    where LSH emits 10^-6 of all pairs does 10^-6 of the work."""
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    sh = _capped_shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("s"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("s"))
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+JACCARD_LSH_SQL = f"""
+WITH all_sh AS ({_SHINGLES_DUCK}),
+capped AS ({_CAPPED_SHINGLES_DUCK}),
+sig AS (
+  SELECT doc_id,
+       {{mins}}
+  FROM all_sh GROUP BY doc_id
+),
+bands AS ({{bands}}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.h1 = c.h1 AND a.h2 = c.h2 AND a.doc_id < c.doc_id
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY 1),
+inter AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS inter
+  FROM cand
+  JOIN capped a ON a.doc_id = cand.doc_a
+  JOIN capped b ON b.doc_id = cand.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN counts ca ON doc_a = ca.doc_id
+JOIN counts cb ON doc_b = cb.doc_id
+WHERE ROUND(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+JACCARD_LSH_SQL = JACCARD_LSH_SQL.format(mins=_MINS_DUCK, bands=_BANDS_DUCK)
 
 
 # --- SimHash fingerprint (16-bit) ------------------------------------------------
@@ -441,7 +564,8 @@ def dedup_clusters(spark, sf_dir):
 
 
 CLUSTERS_SQL = f"""
-WITH RECURSIVE sh AS ({_SHINGLES_DUCK}),
+WITH RECURSIVE all_sh AS ({_SHINGLES_DUCK}),
+sh AS ({_CAPPED_SHINGLES_DUCK}),
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -481,5 +605,6 @@ TEXT_QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, JACCARD_SQL),
     "dedup_clusters": (dedup_clusters, CLUSTERS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
+    "dedup_jaccard_lsh": (dedup_jaccard_lsh, JACCARD_LSH_SQL),
     "simhash": (simhash, SIMHASH_SQL),
 }

@@ -217,36 +217,60 @@ WHERE list_dot_product(a.vec, b.vec) /
 # multiple bands exactly like dedup_minhash_lsh does for shingles).
 
 N_PLANES = 8
+DIM = 64
 
 
 def _h64_expr(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def _plane_matrix(n_planes: int) -> np.ndarray:
+    """(n_planes, DIM) float64 pseudo-random hyperplanes from md5 —
+    identical to the SQL oracle's per-(p, d) coefficient formula, built
+    once and closed over by the kernel (the broadcast-small-matrix
+    pattern; a real deployment would broadcast a trained codebook the
+    same way)."""
+    import hashlib  # noqa: PLC0415
+
+    planes = np.empty((n_planes, DIM), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(DIM):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            planes[p, d] = ((h % 2001) - 1000) / 1000.0
+    return planes
+
+
+def _sig_bits(vec_col: "object", planes: np.ndarray) -> np.ndarray:
+    """(n, n_planes) bool sign bits for a pandas column of vectors —
+    ONE NumPy matmul per Arrow batch.  The round-1 plan built signatures
+    relationally (posexplode x crossJoin: 512 shuffled rows per vector,
+    5x10^11 rows at 10^9 vectors); this computes the identical bits
+    in-batch with zero extra shuffle.  round(9) guard: fold-order drift
+    between engines must never flip a sign bit."""
+    v = np.array(vec_col.tolist(), dtype=np.float64).reshape(-1, DIM)
+    return np.round(v @ planes.T, 9) > 0
+
+
 def _signatures(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    dims = emb.select("vec_id", F.posexplode("vec").alias("d", "x"))
-    planes = spark.range(N_PLANES).select(F.col("id").alias("p"))
-    terms = dims.crossJoin(F.broadcast(planes)).select(
-        "vec_id",
-        "p",
-        (
-            ((_h64_expr(F.format_string("%d:%d", F.col("p"), F.col("d"))) % 2001)
-             - 1000) / 1000.0 * F.col("x")
-        ).alias("t"),
-    )
-    sums = terms.groupBy("vec_id", "p").agg(
-        # round(9) guard: fold-order drift must never flip the sign bit
-        F.round(F.sum("t"), 9).alias("s")
-    )
-    return sums.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1, cast(p as int))"))
-            .otherwise(0)
-        )
-        .cast("bigint")
-        .alias("bucket")
-    )
+    emb = _emb(spark, sf_dir).select("vec_id", "vec")
+
+    def kernel(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        planes = _plane_matrix(N_PLANES)
+        weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bits = _sig_bits(pdf["vec"], planes)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "bucket": bits @ weights,
+                }
+            )
+
+    return emb.mapInPandas(kernel, schema="vec_id long, bucket long")
 
 
 def ann_lsh_bucketed(spark, sf_dir):
@@ -299,10 +323,166 @@ SELECT bucket, vec_a, vec_b, cosine FROM pairs WHERE cosine >= {COSINE_DUP_THRES
 """
 
 
+# --- multi-band OR-amplified LSH with planted near-dups ---------------------------
+#
+# The driver testdata has no true embedding near-dups (max pairwise
+# cosine ~0.51), so production-threshold recall was unmeasurable in
+# round 1.  Here we PLANT them deterministically (engine-agnostically):
+# for the first PLANT_N vectors, append a jittered copy
+# vec'[d] = vec[d] + JITTER_ALPHA * coeff_j(vec_id, d) under
+# vec_id + PLANT_OFFSET — unit-norm base vectors land the pair cosine
+# around 0.95 (the production near-dup threshold).  The query then runs
+# MB_BANDS OR-ed 8-bit hyperplane bands (P[same bucket in >=1 band] =
+# 1 - (1 - (1 - theta/pi)^8)^MB_BANDS ~ 0.97 at cosine 0.95) and
+# reports each planted pair with its exact cosine and whether the
+# candidate stage caught it — measured recall, not a claim.
+
+MB_BANDS = 6
+MB_ROWS = 8
+PLANT_N = 20
+PLANT_OFFSET = 10000
+JITTER_ALPHA = 0.07
+
+_JITTER_SPARK = (
+    f"transform(vec, (x, d) -> x + CAST({JITTER_ALPHA} AS DOUBLE) * "
+    "(((CAST(conv(substring(md5(concat('j:', CAST(vec_id AS STRING), ':',"
+    " CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2001) - 1000) / 1000.0))"
+)
+
+
+def _planted_emb(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select("vec_id", "vec")
+    planted = emb.filter(F.col("vec_id") < PLANT_N).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.expr(_JITTER_SPARK).alias("vec"),
+    )
+    return emb.unionByName(planted)
+
+
+def ann_lsh_multiband(spark, sf_dir):
+    """Planted-pair recall of OR-amplified multi-band LSH.  Output: one
+    row per planted near-dup pair (vec_a, vec_b, cosine, caught)."""
+    allv = _planted_emb(spark, sf_dir)
+
+    def kernel(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        planes = _plane_matrix(MB_BANDS * MB_ROWS)
+        weights = (1 << np.arange(MB_ROWS)).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bits = _sig_bits(pdf["vec"], planes)  # (n, MB_BANDS*MB_ROWS)
+            frames = []
+            for band in range(MB_BANDS):
+                sub = bits[:, band * MB_ROWS:(band + 1) * MB_ROWS]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].astype("int64"),
+                            "band": band,
+                            "bucket": sub @ weights,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    sig = allv.mapInPandas(kernel, schema="vec_id long, band int, bucket long")
+    # candidate pairs via bucket grouping (same zero-self-join pattern
+    # as dedup_minhash_lsh)
+    cand = (
+        sig.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " b -> struct(a AS vec_a, b AS vec_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
+    )
+    base = _with_norm(allv).select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    dup = _with_norm(allv).select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    truth = (
+        base.filter(F.col("vec_a") < PLANT_N)
+        .withColumn("vec_b", F.col("vec_a") + PLANT_OFFSET)
+        .join(dup, "vec_b")
+    )
+    cosine = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    caught = cand.withColumn("caught_flag", F.lit(1))
+    return (
+        truth.join(caught, ["vec_a", "vec_b"], "left")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine.alias("cosine"),
+            F.coalesce(F.col("caught_flag"), F.lit(0)).cast("long").alias("caught"),
+        )
+    )
+
+
+_MB_COEFF = _COEFF_DUCK  # same per-(p, d) plane formula
+_JITTER_DUCK = (
+    f"[vec[d + 1] + CAST({JITTER_ALPHA} AS DOUBLE) * "
+    "(((CAST(concat('0x', substr(md5('j:' || CAST(vec_id AS VARCHAR) || ':' ||"
+    " CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000) / 1000.0)"
+    " FOR d IN RANGE(0, 64)]"
+)
+
+ANN_MULTIBAND_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+allv AS (
+  SELECT vec_id, vec FROM e
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id, {_JITTER_DUCK} AS vec
+  FROM e WHERE vec_id < {PLANT_N}
+),
+terms AS (
+  SELECT vec_id, p, {_MB_COEFF} * vec[d + 1] AS t
+  FROM allv, range({MB_BANDS * MB_ROWS}) planes(p), range({DIM}) dims(d)
+),
+sums AS (SELECT vec_id, p, ROUND(SUM(t), 9) AS s FROM terms GROUP BY 1, 2),
+sig AS (
+  SELECT vec_id, CAST(p // {MB_ROWS} AS INT) AS band,
+         CAST(SUM(CASE WHEN s > 0 THEN 1 << CAST(p % {MB_ROWS} AS INT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM sums GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+truth AS (
+  SELECT b.vec_id AS vec_a, p.vec_id AS vec_b,
+         ROUND(list_dot_product(b.vec, p.vec) /
+               (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(p.vec, p.vec))), 6)
+         AS cosine
+  FROM allv b JOIN allv p ON p.vec_id = b.vec_id + {PLANT_OFFSET}
+  WHERE b.vec_id < {PLANT_N}
+)
+SELECT truth.vec_a, truth.vec_b, truth.cosine,
+       CAST(CASE WHEN cand.vec_a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS caught
+FROM truth LEFT JOIN cand ON truth.vec_a = cand.vec_a AND truth.vec_b = cand.vec_b
+"""
+
+
 VECTOR_QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "embedding_label_stats": (embedding_label_stats, EMB_STATS_SQL),
     "multimodal_decode_stub": (multimodal_decode_stub, DECODE_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, COSINE_DUP_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
+    "ann_lsh_multiband": (ann_lsh_multiband, ANN_MULTIBAND_SQL),
 }
