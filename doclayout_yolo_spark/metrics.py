@@ -130,6 +130,116 @@ def ap_interp(recall: np.ndarray, precision: np.ndarray) -> float:
     return float(np.trapz(np.interp(x, r, p), x))
 
 
+def confusion_pairs(
+    det_boxes: np.ndarray,
+    det_cls: np.ndarray,
+    det_conf: np.ndarray,
+    gt_boxes: np.ndarray,
+    gt_cls: np.ndarray,
+    nc: int,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+) -> list[tuple[int, int]]:
+    """One document's (pred_cls, gt_cls) confusion increments, with
+    ``nc`` as the background index — utils/metrics.py:284-384
+    (ConfusionMatrix.process_batch) semantics:
+
+    - detections filtered at ``conf > conf_thres``;
+    - CLASS-AGNOSTIC IoU matching at a single ``iou_thres`` with the
+      reference's dedup chain — note it re-sorts by IoU desc between
+      the det dedup and the gt dedup (unlike the validator's
+      match_predictions), so the gt keeps its HIGHEST-IoU detection;
+    - matched gt -> (det_cls, gt_cls); unmatched gt -> (nc, gt_cls);
+    - unmatched det -> (det_cls, nc), but ONLY when at least one match
+      exists in the document (the reference skips the FP loop when
+      ``n`` is falsy — reproduced faithfully, quirk included);
+    - determinism pin: stable sorts (the reference's unstable argsort
+      leaves IoU ties platform-dependent).
+    """
+    keep = det_conf > conf_thres
+    det_boxes, det_cls = det_boxes[keep], det_cls[keep]
+    out: list[tuple[int, int]] = []
+    if len(gt_cls) == 0:
+        return [(int(dc), nc) for dc in det_cls]
+    if len(det_cls) == 0:
+        return [(nc, int(gc)) for gc in gt_cls]
+    iou = box_iou(gt_boxes, det_boxes)
+    gi, di = np.nonzero(iou > iou_thres)
+    if len(gi):
+        order = np.argsort(-iou[gi, di], kind="stable")
+        gi, di, v = gi[order], di[order], iou[gi, di][order]
+        _, keep_d = np.unique(di, return_index=True)
+        gi, di, v = gi[keep_d], di[keep_d], v[keep_d]
+        order = np.argsort(-v, kind="stable")
+        gi, di = gi[order], di[order]
+        _, keep_g = np.unique(gi, return_index=True)
+        gi, di = gi[keep_g], di[keep_g]
+    n = len(gi) > 0
+    gt_to_det = dict(zip(gi.tolist(), di.tolist()))
+    for i, gc in enumerate(gt_cls):
+        d = gt_to_det.get(i)
+        if n and d is not None:
+            out.append((int(det_cls[d]), int(gc)))
+        else:
+            out.append((nc, int(gc)))
+    if n:
+        matched_d = set(di.tolist())
+        for i, dc in enumerate(det_cls):
+            if i not in matched_d:
+                out.append((int(dc), nc))
+    return out
+
+
+CONFUSION_DDL = "pred_cls long, gt_cls long"
+
+
+def confusion_matrix(
+    dets: DataFrame, gts: DataFrame, nc: int,
+    conf_thres: float = 0.25, iou_thres: float = 0.45,
+) -> DataFrame:
+    """Distributed (nc+1)^2 detection confusion matrix: per-doc NumPy
+    increments via applyInPandas (one shuffle on doc), then a count
+    aggregation padded with zero cells so every (pred_cls, gt_cls)
+    combination appears exactly once (nc = background row/col)."""
+    d = dets.select(
+        "doc", "x1", "y1", "x2", "y2", "conf", "cls",
+        F.lit("det").alias("side"),
+    )
+    g = gts.select(
+        "doc", "x1", "y1", "x2", "y2", F.lit(0.0).alias("conf"), "cls",
+        F.lit("gt").alias("side"),
+    )
+
+    def _group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dd = pdf[pdf["side"] == "det"]
+        gg = pdf[pdf["side"] == "gt"]
+        pairs = confusion_pairs(
+            dd[["x1", "y1", "x2", "y2"]].to_numpy(np.float32),
+            dd["cls"].to_numpy(np.int64),
+            dd["conf"].to_numpy(np.float64),
+            gg[["x1", "y1", "x2", "y2"]].to_numpy(np.float32),
+            gg["cls"].to_numpy(np.int64),
+            nc, conf_thres, iou_thres,
+        )
+        return pd.DataFrame(pairs, columns=["pred_cls", "gt_cls"])
+
+    cells = (
+        d.unionByName(g)
+        .groupBy("doc")
+        .applyInPandas(_group, schema=CONFUSION_DDL)
+        .groupBy("pred_cls", "gt_cls")
+        .agg(F.count("*").alias("n"))
+    )
+    spark = dets.sparkSession
+    dim = spark.range(nc + 1).select(F.col("id").alias("c"))
+    full = dim.select(F.col("c").alias("pred_cls")).crossJoin(
+        dim.select(F.col("c").alias("gt_cls"))
+    )
+    return full.join(cells, ["pred_cls", "gt_cls"], "left").select(
+        "pred_cls", "gt_cls", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+
+
 AP_DDL = "cls long, iou_idx int, iou_thr double, ap double"
 
 

@@ -128,6 +128,12 @@ def _extract_batches(batches, lineage_acc=None):
             [
                 {
                     "task_partition_id": tc.partitionId() if tc else -1,
+                    # accumulator updates in transformations are
+                    # at-least-once (task retries / speculative attempts
+                    # re-fire them); the driver dedups by partition id,
+                    # last attempt wins
+                    "attempt_number": tc.attemptNumber() if tc else 0,
+                    "task_attempt_id": tc.taskAttemptId() if tc else -1,
                     "part_ids": sorted(part_ids),
                     "n_docs": n_docs,
                     "n_regions": n_regions_total,
@@ -258,22 +264,36 @@ def run_extraction_job(
     wall = time.time() - t0
 
     # lineage + manifest (post-write: in Iceberg these rows join the
-    # same atomic snapshot commit as the data files)
-    lineage_rows = list(lineage_acc.value)
+    # same atomic snapshot commit as the data files).  Accumulator
+    # delivery is at-least-once under task retries, so dedup to exactly
+    # one row per task partition, last attempt wins — stats and the
+    # lineage table never double-count a retried task.
+    best: dict[int, dict] = {}
+    for r in lineage_acc.value:
+        k = r["task_partition_id"]
+        cur = best.get(k)
+        if cur is None or (
+            (r["attempt_number"], r["task_attempt_id"])
+            > (cur["attempt_number"], cur["task_attempt_id"])
+        ):
+            best[k] = r
+    lineage_rows = [best[k] for k in sorted(best)]
     n_docs = sum(r["n_docs"] for r in lineage_rows)
     processed = sorted({p for r in lineage_rows for p in r["part_ids"]})
     if lineage_rows:
         spark.createDataFrame(
             [
                 (
-                    r["task_partition_id"], r["part_ids"], r["n_docs"],
+                    r["task_partition_id"], r["attempt_number"],
+                    r["part_ids"], r["n_docs"],
                     r["n_regions"], r["bytes_in"], float(r["t_start"]),
                     float(r["t_end"]), r["kernel_version"],
                 )
                 for r in lineage_rows
             ],
             schema=(
-                "task_partition_id int, part_ids array<int>, n_docs long, "
+                "task_partition_id int, attempt_number int, "
+                "part_ids array<int>, n_docs long, "
                 "n_regions long, bytes_in long, t_start double, t_end double, "
                 "kernel_version string"
             ),

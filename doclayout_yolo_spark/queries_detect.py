@@ -328,6 +328,75 @@ def detection_map(spark, sf_dir):
     return ap_per_class(match_table(dets, gts), gt_counts)
 
 
+def det_confusion_matrix(spark, sf_dir):
+    """True (nc+1)^2 detection confusion matrix with background row/col
+    (utils/metrics.py:284-384 ConfusionMatrix semantics: conf 0.25,
+    class-agnostic IoU 0.45 greedy matching, unmatched gt -> background
+    row, unmatched det -> background col).  Greedy matching is not
+    SQL-expressible -> golden-snapshot oracle."""
+    from .metrics import confusion_matrix  # noqa: PLC0415
+
+    d = _derived_dets(spark, sf_dir)
+    boxed = d.select(
+        "doc",
+        "det_id",
+        "cls",
+        "conf",
+        (F.col("cx") - F.col("w") / 2.0).alias("x1"),
+        (F.col("cy") - F.col("h") / 2.0).alias("y1"),
+        (F.col("cx") + F.col("w") / 2.0).alias("x2"),
+        (F.col("cy") + F.col("h") / 2.0).alias("y2"),
+    )
+    dets = boxed.filter(F.col("det_id") % 2 == 0)
+    gts = boxed.filter(F.col("det_id") % 2 == 1)
+    return confusion_matrix(dets, gts, nc=10)
+
+
+def coco_json_predictions(spark, sf_dir):
+    """COCO-JSON predictions sink (models/yolo/detect/val.py:261-275
+    pred_to_json): one JSON object per detection with xywh bbox (top-
+    left corner + size, bbox rounded to 3 dp, score to 5 dp), built
+    with deterministic string ops so both engines emit byte-equal
+    JSON."""
+    d = det_postprocess_sql(spark, sf_dir)
+    w = F.col("x2") - F.col("x1")
+    h = F.col("y2") - F.col("y1")
+    json = F.format_string(
+        '{"image_id":%s,"category_id":%s,"bbox":[%s,%s,%s,%s],"score":%s}',
+        F.col("doc").cast("string"),
+        F.col("cls").cast("string"),
+        F.round(F.col("x1"), 3).cast("string"),
+        F.round(F.col("y1"), 3).cast("string"),
+        F.round(w, 3).cast("string"),
+        F.round(h, 3).cast("string"),
+        F.round(F.col("conf"), 5).cast("string"),
+    )
+    return d.select("doc", "det_id", json.alias("pred_json"))
+
+
+COCO_JSON_SQL = f"""
+WITH d AS ({_DERIVED_DUCK}),
+f AS (
+  SELECT doc, det_id,
+         GREATEST(0.0, LEAST({PAGE}, cx - w / 2.0)) AS x1,
+         GREATEST(0.0, LEAST({PAGE}, cy - h / 2.0)) AS y1,
+         GREATEST(0.0, LEAST({PAGE}, cx + w / 2.0)) AS x2,
+         GREATEST(0.0, LEAST({PAGE}, cy + h / 2.0)) AS y2,
+         conf, cls
+  FROM d WHERE conf > 0.25 AND cls <> 2
+)
+SELECT doc, det_id,
+       '{{"image_id":' || CAST(doc AS VARCHAR) ||
+       ',"category_id":' || CAST(cls AS VARCHAR) ||
+       ',"bbox":[' || CAST(ROUND(x1, 3) AS VARCHAR) ||
+       ',' || CAST(ROUND(y1, 3) AS VARCHAR) ||
+       ',' || CAST(ROUND(x2 - x1, 3) AS VARCHAR) ||
+       ',' || CAST(ROUND(y2 - y1, 3) AS VARCHAR) ||
+       '],"score":' || CAST(ROUND(conf, 5) AS VARCHAR) || '}}' AS pred_json
+FROM f
+"""
+
+
 def refine_region_scores(spark, sf_dir):
     """Refinement-MLP stage over extracted regions (rows-only: frozen
     seeded weights, NumPy matmul inside mapInPandas)."""
@@ -435,6 +504,11 @@ DETECT_QUERIES = {
     "extract_pages": (extract_pages_flagship, FLAGSHIP_SQL),
     "extract_region_rows": (extract_region_rows, REGION_ROWS_SQL),
     "detection_map": (detection_map, _golden_sql("detection_map")),
+    "det_confusion_matrix": (
+        det_confusion_matrix,
+        _golden_sql("det_confusion_matrix"),
+    ),
+    "coco_json_predictions": (coco_json_predictions, COCO_JSON_SQL),
     "refine_region_scores": (
         refine_region_scores,
         _golden_sql("refine_region_scores"),

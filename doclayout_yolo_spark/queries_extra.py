@@ -65,7 +65,10 @@ FROM lineitem GROUP BY ROLLUP (ship_year, l_returnflag)
 def customers_minus_eventusers(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
     ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("key"))
-    return o.exceptAll(ev).distinct()
+    # true set difference: distinct both sides BEFORE subtracting.
+    # exceptAll-then-distinct is bag subtraction (a key present in both
+    # but with more order rows than event rows would leak through).
+    return o.distinct().exceptAll(ev.distinct())
 
 
 EXCEPT_SQL = """

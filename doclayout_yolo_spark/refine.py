@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .labelmaps import NC
-from .textfeat import N_FEATURES, feature_vector
+from .textfeat import N_FEATURES, feature_matrix  # noqa: F401
 
 HIDDEN = 32
 SEED = 1234
@@ -79,17 +79,10 @@ def refine_regions(extracted: DataFrame) -> DataFrame:
         import pandas as pd  # noqa: PLC0415
 
         for pdf in batches:
-            n = len(pdf)
-            feats = np.zeros((n, N_FEATURES), dtype=np.float32)
-            for i in range(n):
-                feats[i] = feature_vector(
-                    pdf["region_text"].iat[i],
-                    (
-                        pdf["x1"].iat[i], pdf["y1"].iat[i],
-                        pdf["x2"].iat[i], pdf["y2"].iat[i],
-                    ),
-                    (960.0, pdf["page_h"].iat[i]),
-                )
+            feats = feature_matrix(
+                pdf["region_text"], pdf["x1"], pdf["y1"], pdf["x2"],
+                pdf["y2"], 960.0, pdf["page_h"],
+            )
             logits = mlp_logits(feats)
             yield pd.DataFrame(
                 {

@@ -33,6 +33,25 @@ def read_pages_stream(
     )
 
 
+def write_extracted_batch(
+    batch_df: DataFrame, batch_id: int, output_dir: str, n_buckets: int = 64
+) -> None:
+    """Idempotent micro-batch sink: extraction output lands in a
+    ``batch_id=<n>`` partition via DYNAMIC partition overwrite, so a
+    batch replayed after a crash between the data write and the
+    checkpoint commit overwrites its own partition instead of appending
+    duplicates.  foreachBatch alone is at-least-once; batch_id-keyed
+    overwrite is what upgrades it to exactly-once output."""
+    out = extract_pages(batch_df, n_buckets=n_buckets)
+    (
+        out.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_dir)
+    )
+
+
 def start_extraction_stream(
     spark: SparkSession,
     input_dir: str,
@@ -45,15 +64,16 @@ def start_extraction_stream(
 
     ``foreachBatch`` reuses the exact batch transform, so streaming and
     batch outputs are byte-identical per url (same kernel, same
-    determinism contract).
+    determinism contract).  Exactly-once: streaming checkpoint (source
+    offsets) + the idempotent batch_id-partition overwrite in
+    ``write_extracted_batch`` (a replayed micro-batch rewrites its own
+    partition — no duplicate rows even if the previous attempt crashed
+    after writing data but before committing the checkpoint).
     """
     stream = read_pages_stream(spark, input_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract_pages(batch_df, n_buckets=n_buckets)
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            output_dir
-        )
+        write_extracted_batch(batch_df, batch_id, output_dir, n_buckets)
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -94,6 +94,57 @@ def spatial_features(
     )
 
 
+def feature_matrix(
+    texts,
+    x1,
+    y1,
+    x2,
+    y2,
+    page_w: float,
+    page_h,
+) -> np.ndarray:
+    """Vectorized (n, 23) feature matrix over pandas Series — the Arrow
+    hot path (one pass of pandas .str regex counts per feature instead
+    of a per-row Python loop).  Bit-identical to stacking
+    ``feature_vector`` row-by-row: the same double-precision ratios are
+    downcast to float32 elementwise, and pandas ``.str.count(r"\\S+")``
+    counts exactly the non-empty segments ``_WS_RE.split`` yields."""
+    import pandas as pd  # noqa: PLC0415
+
+    texts = pd.Series(texts).fillna("")
+    n = len(texts)
+    out = np.empty((n, N_FEATURES), dtype=np.float32)
+    lens = texts.str.len().to_numpy(np.int64)
+    denom = np.maximum(lens, 1).astype(np.float64)
+    out[:, 0] = np.log1p(lens.astype(np.float32))
+    out[:, 1] = np.log1p(texts.str.count(r"\S+").to_numpy(np.float32))
+    out[:, 2] = (texts.str.count("[0-9]").to_numpy(np.int64) / denom).astype(np.float32)
+    out[:, 3] = (texts.str.count("[A-Z]").to_numpy(np.int64) / denom).astype(np.float32)
+    out[:, 4] = np.log1p(texts.str.count("[.!?]").to_numpy(np.float32))
+    out[:, 5] = (
+        texts.str.count(r"[^0-9A-Za-z\s]").to_numpy(np.int64) / denom
+    ).astype(np.float32)
+    low = texts.str.lower()
+    for i, kws in enumerate(KEYWORD_TABLE.values()):
+        hits = np.zeros(n, dtype=np.int64)
+        for k in kws:
+            hits += low.str.contains(k, regex=False).to_numpy(bool)
+        out[:, 6 + i] = hits / np.float64(len(kws))
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    pw = max(float(page_w), 1.0)
+    ph = np.maximum(np.asarray(page_h, dtype=np.float64), 1.0)
+    out[:, 17] = (x1 / pw).astype(np.float32)
+    out[:, 18] = (y1 / ph).astype(np.float32)
+    out[:, 19] = ((x2 - x1) / pw).astype(np.float32)
+    out[:, 20] = ((y2 - y1) / ph).astype(np.float32)
+    out[:, 21] = ((x1 + x2) / 2.0 / pw).astype(np.float32)
+    out[:, 22] = ((y1 + y2) / 2.0 / ph).astype(np.float32)
+    return out
+
+
 def feature_vector(
     text: str,
     box: tuple[float, float, float, float],

@@ -188,3 +188,38 @@ def test_greedy_match_gt_dedup_keeps_lowest_det_index():
     tp = greedy_match(det, det_cls, gt, gt_cls)
     i05 = 0
     assert tp[0, i05] and not tp[1, i05]
+
+
+def test_confusion_pairs_hand_case():
+    from doclayout_yolo_spark.metrics import confusion_pairs
+
+    nc = 3
+    # det0: cls1, overlaps gt0 (cls1) -> diagonal hit
+    # det1: cls2, overlaps gt1 (cls0) -> class confusion (matching is
+    #       class-agnostic at IoU 0.45)
+    # det2: cls0, overlaps nothing -> (0, background)
+    # det3: conf below 0.25 -> dropped entirely
+    # gt2: cls2, matched by nothing -> (background, 2)
+    det = np.array(
+        [[0, 0, 10, 10], [100, 100, 110, 110], [300, 300, 310, 310],
+         [0, 0, 10, 10]], dtype=np.float32)
+    det_cls = np.array([1, 2, 0, 1])
+    det_conf = np.array([0.9, 0.8, 0.7, 0.1])
+    gt = np.array(
+        [[0, 0, 10, 11], [100, 100, 110, 111], [200, 200, 210, 210]],
+        dtype=np.float32)
+    gt_cls = np.array([1, 0, 2])
+    pairs = confusion_pairs(det, det_cls, det_conf, gt, gt_cls, nc)
+    assert sorted(pairs) == sorted([(1, 1), (2, 0), (nc, 2), (0, nc)])
+
+
+def test_confusion_pairs_no_match_skips_fp_loop():
+    from doclayout_yolo_spark.metrics import confusion_pairs
+
+    # reference quirk: when NO det-gt pair clears the IoU threshold,
+    # unmatched detections are NOT counted as background FP
+    det = np.array([[0, 0, 10, 10]], dtype=np.float32)
+    gt = np.array([[500, 500, 510, 510]], dtype=np.float32)
+    pairs = confusion_pairs(
+        det, np.array([1]), np.array([0.9]), gt, np.array([2]), nc=3)
+    assert pairs == [(3, 2)]  # only the background-FN row for the gt

@@ -30,3 +30,26 @@ def test_refine_regions_spark(spark):
     # region_text slicing must have fed real text (scores vary)
     scores = {round(r["refined_score"], 4) for r in refined}
     assert len(scores) > 3
+
+
+def test_feature_matrix_bit_identical_to_per_row():
+    import numpy as np
+    import pandas as pd
+
+    from doclayout_yolo_spark.textfeat import feature_matrix, feature_vector
+
+    texts = ["", "Hello World 42!", "the and of to",
+             "Figure 1. A caption?!?",
+             "COOKIE subscribe\ttabs\nnewlines  multi   space",
+             "=+\\sum\\frac", "x" * 500,
+             "Table: total row note source: eq. equation item first"]
+    rng = np.random.RandomState(0)
+    x1 = rng.rand(len(texts)) * 900
+    y1 = rng.rand(len(texts)) * 1000
+    x2 = x1 + rng.rand(len(texts)) * 100
+    y2 = y1 + rng.rand(len(texts)) * 50
+    ph = rng.rand(len(texts)) * 2000 + 500
+    mat = feature_matrix(pd.Series(texts), x1, y1, x2, y2, 960.0, ph)
+    for i, t in enumerate(texts):
+        v = feature_vector(t, (x1[i], y1[i], x2[i], y2[i]), (960.0, ph[i]))
+        assert (mat[i] == v).all(), (i, t)

@@ -102,3 +102,24 @@ def test_windowed_region_counts_static(spark):
     agg = windowed_region_counts(joined).collect()
     assert sum(r["n_pages"] for r in agg) == 30
     assert all(r["n_regions"] > 0 for r in agg)
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path_factory):
+    # crash-window semantics: a micro-batch replayed with the same
+    # batch_id (checkpoint not yet committed on the first attempt) must
+    # not duplicate rows — the batch_id partition is overwritten
+    from doclayout_yolo_spark.fixtures import generate_pages_df
+    from doclayout_yolo_spark.streaming import write_extracted_batch
+
+    out = str(tmp_path_factory.mktemp("replay") / "out")
+    pages = generate_pages_df(spark, 40, partitions=2)
+    write_extracted_batch(pages, 7, out, n_buckets=4)
+    first = spark.read.parquet(out)
+    n1, urls1 = first.count(), sorted(r["url"] for r in first.select("url").collect())
+    write_extracted_batch(pages, 7, out, n_buckets=4)  # replay
+    second = spark.read.parquet(out)
+    assert second.count() == n1 == 40
+    assert sorted(r["url"] for r in second.select("url").collect()) == urls1
+    # a different batch_id appends, never clobbers other partitions
+    write_extracted_batch(pages.limit(5), 8, out, n_buckets=4)
+    assert spark.read.parquet(out).count() == 45

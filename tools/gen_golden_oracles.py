@@ -149,6 +149,51 @@ def gen_detection_map() -> pa.Table:
     )
 
 
+def gen_det_confusion_matrix() -> pa.Table:
+    from doclayout_yolo_spark.metrics import confusion_pairs
+
+    nc = 10
+    d = derived_dets()
+    x1 = d["cx"] - d["w"] / 2.0
+    y1 = d["cy"] - d["h"] / 2.0
+    boxed = pd.DataFrame(
+        {
+            "doc": d["doc"], "det_id": d["det_id"], "cls": d["cls"],
+            "conf": d["conf"],
+            "x1": x1, "y1": y1,
+            "x2": d["cx"] + d["w"] / 2.0, "y2": d["cy"] + d["h"] / 2.0,
+        }
+    )
+    dets = boxed[boxed["det_id"] % 2 == 0]
+    gts = boxed[boxed["det_id"] % 2 == 1]
+    counts: dict[tuple[int, int], int] = {}
+    for doc in sorted(boxed["doc"].unique()):
+        dd = dets[dets["doc"] == doc]
+        gg = gts[gts["doc"] == doc]
+        for pc, gc in confusion_pairs(
+            dd[["x1", "y1", "x2", "y2"]].to_numpy(np.float32),
+            dd["cls"].to_numpy(np.int64),
+            dd["conf"].to_numpy(np.float64),
+            gg[["x1", "y1", "x2", "y2"]].to_numpy(np.float32),
+            gg["cls"].to_numpy(np.int64),
+            nc,
+        ):
+            counts[(pc, gc)] = counts.get((pc, gc), 0) + 1
+    rows = {"pred_cls": [], "gt_cls": [], "n": []}
+    for pc in range(nc + 1):
+        for gc in range(nc + 1):
+            rows["pred_cls"].append(pc)
+            rows["gt_cls"].append(gc)
+            rows["n"].append(counts.get((pc, gc), 0))
+    return pa.table(
+        {
+            "pred_cls": pa.array(rows["pred_cls"], pa.int64()),
+            "gt_cls": pa.array(rows["gt_cls"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64()),
+        }
+    )
+
+
 def gen_refine_region_scores() -> pa.Table:
     from doclayout_yolo_spark.oracle import extract_rows
     from doclayout_yolo_spark.refine import mlp_logits
@@ -204,6 +249,7 @@ def main() -> None:
     for name, gen in (
         ("det_grouped_postprocess", gen_det_grouped_postprocess),
         ("detection_map", gen_detection_map),
+        ("det_confusion_matrix", gen_det_confusion_matrix),
         ("refine_region_scores", gen_refine_region_scores),
     ):
         table = gen()
