@@ -34,8 +34,11 @@ HEADLINE = [
     "sessionize_events",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_jaccard_lsh",
     "simhash",
     "ann_cosine_topk",
+    "ann_lsh_multiband",
+    "detection_map",
     "extract_pages",
 ]
 

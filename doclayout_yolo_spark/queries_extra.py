@@ -268,18 +268,20 @@ FROM d
 
 # --- A7: max-F1 threshold pick (grid sweep + window argmax) -------------------
 
-def max_f1_threshold(spark, sf_dir):
-    """Grid-sweep a score threshold per event_type and pick the
-    argmax-F1 point (metrics.py:602-615 rendering: curve + argmax)."""
+GRID_N = 19  # thresholds 5..95 step 5
+
+
+def _f1_grid(spark, sf_dir):
+    """Per-(event_type, threshold) F1 curve over a broadcast grid."""
     ev = _t(spark, sf_dir, "events")
-    grid = spark.range(1, 20).select((F.col("id") * 5.0).alias("thr"))
+    grid = spark.range(1, GRID_N + 1).select((F.col("id") * 5.0).alias("thr"))
     per_type = ev.groupBy("event_type").agg(
         F.count("*").alias("n_total"), F.max("value").alias("vmax")
     )
     joined = ev.join(F.broadcast(grid)).groupBy("event_type", "thr").agg(
         F.sum(F.when(F.col("value") >= F.col("thr"), 1).otherwise(0)).alias("n_above")
     )
-    scored = joined.join(per_type, "event_type").select(
+    return joined.join(per_type, "event_type").select(
         "event_type",
         "thr",
         F.round(
@@ -290,11 +292,57 @@ def max_f1_threshold(spark, sf_dir):
             6,
         ).alias("f1"),
     )
+
+
+def max_f1_threshold(spark, sf_dir):
+    """Grid-sweep a score threshold per event_type and pick the
+    argmax-F1 point (metrics.py:602-615 rendering: curve + argmax)."""
+    scored = _f1_grid(spark, sf_dir)
     w = W.partitionBy("event_type").orderBy(F.desc("f1"), F.asc("thr"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("event_type", "thr", "f1")
+    )
+
+
+# smooth(y, 0.1) box filter (utils/metrics.py:438-443): odd window
+# nf = round(n*0.2)//2+1, edges padded by replicating y[0]/y[-1] —
+# rendered as a bounded window average plus first/last-value
+# compensation for the rows the frame clips at the edges.
+SMOOTH_NF = round(GRID_N * 0.1 * 2) // 2 + 1  # reference formula: 3 at n=19
+SMOOTH_K = SMOOTH_NF // 2
+assert SMOOTH_NF % 2 == 1, "symmetric box filter needs an odd window"
+
+
+def max_f1_smoothed(spark, sf_dir):
+    """The reference picks argmax of the SMOOTHED F1 curve
+    (metrics.py:612 ``smooth(f1_curve.mean(0), 0.1).argmax()``), not the
+    raw one — reproduced with window functions: box-filter sum over
+    +-K rows, plus y_first/y_last replication for clipped edge rows."""
+    scored = _f1_grid(spark, sf_dir)
+    wo = W.partitionBy("event_type").orderBy(F.asc("thr"))
+    frame = wo.rowsBetween(-SMOOTH_K, SMOOTH_K)
+    full = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    n = F.count("*").over(full)
+    rn = F.row_number().over(wo)
+    miss_l = F.greatest(F.lit(0), F.lit(SMOOTH_K) - (rn - 1))
+    miss_r = F.greatest(F.lit(0), F.lit(SMOOTH_K) - (n - rn))
+    smoothed = F.round(
+        (
+            F.sum("f1").over(frame)
+            + miss_l * F.first("f1").over(full)
+            + miss_r * F.last("f1").over(full)
+        )
+        / F.lit(float(SMOOTH_NF)),
+        6,
+    )
+    curve = scored.select("event_type", "thr", "f1", smoothed.alias("f1_smooth"))
+    w = W.partitionBy("event_type").orderBy(F.desc("f1_smooth"), F.asc("thr"))
+    return (
+        curve.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("event_type", "thr", "f1", "f1_smooth")
     )
 
 
@@ -319,6 +367,48 @@ SELECT event_type, thr, f1 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY f1 DESC, thr ASC) AS rn
   FROM scored
 ) WHERE rn = 1
+"""
+
+_F1_GRID_SQL = """
+grid AS (SELECT CAST((i + 1) * 5.0 AS DOUBLE) AS thr FROM range(19) g(i)),
+per_type AS (
+  SELECT event_type, COUNT(*) AS n_total, MAX(value) AS vmax FROM events GROUP BY 1
+),
+joined AS (
+  SELECT e.event_type, g.thr,
+         SUM(CASE WHEN e.value >= g.thr THEN 1 ELSE 0 END) AS n_above
+  FROM events e CROSS JOIN grid g
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT j.event_type, j.thr,
+         ROUND(2.0 * (n_above / CAST(n_total AS DOUBLE)) * (thr / vmax)
+               / ((n_above / CAST(n_total AS DOUBLE)) + (thr / vmax)), 6) AS f1
+  FROM joined j JOIN per_type p ON j.event_type = p.event_type
+)
+"""
+
+MAX_F1_SMOOTH_SQL = f"""
+WITH {_F1_GRID_SQL},
+curve AS (
+  SELECT event_type, thr, f1,
+         ROUND((
+           SUM(f1) OVER (PARTITION BY event_type ORDER BY thr
+                         ROWS BETWEEN {SMOOTH_K} PRECEDING AND {SMOOTH_K} FOLLOWING)
+           + GREATEST(0, {SMOOTH_K} - (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY thr) - 1))
+             * FIRST_VALUE(f1) OVER (PARTITION BY event_type ORDER BY thr
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           + GREATEST(0, {SMOOTH_K} - (COUNT(*) OVER (PARTITION BY event_type)
+                                       - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY thr)))
+             * LAST_VALUE(f1) OVER (PARTITION BY event_type ORDER BY thr
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ) / {float(SMOOTH_NF)}, 6) AS f1_smooth
+  FROM scored
+)
+SELECT event_type, thr, f1, f1_smooth FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY f1_smooth DESC, thr ASC) AS rnk
+  FROM curve
+) WHERE rnk = 1
 """
 
 
@@ -412,6 +502,7 @@ FROM documents
 EXTRA_QUERIES = {
     "coordinate_views": (coordinate_views, COORD_VIEWS_SQL),
     "max_f1_threshold": (max_f1_threshold, MAX_F1_SQL),
+    "max_f1_smoothed": (max_f1_smoothed, MAX_F1_SMOOTH_SQL),
     "clean_str_sample": (clean_str_sample, CLEAN_STR_SQL),
     "letterbox_unscale": (letterbox_unscale, LETTERBOX_SQL),
     "cube_order_stats": (cube_order_stats, CUBE_SQL),

@@ -67,3 +67,25 @@ def test_whole_stage_codegen_covers_q1(spark):
 def test_q1_partial_aggregation(spark):
     plan = plan_of(q1_pricing_summary(spark, SF_DIR), "simple")
     assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_minhash_scans_documents_once(spark):
+    # round-1 regression: the per-band union + self-join recomputed the
+    # scan->explode->signature subtree 8x; the stack + bucket-groupBy
+    # form must hit the parquet file exactly once
+    from doclayout_yolo_spark.queries_text import dedup_minhash_lsh
+
+    plan = plan_of(dedup_minhash_lsh(spark, SF_DIR), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan  # pairs come from in-bucket expansion
+
+
+def test_lsh_signature_is_single_mapinpandas(spark):
+    # hyperplane signatures must be the in-batch matmul kernel, not the
+    # 512-rows-per-vector posexplode x crossJoin shuffle
+    from doclayout_yolo_spark.queries_vector import _signatures
+
+    plan = plan_of(_signatures(spark, SF_DIR), "simple")
+    assert "MapInPandas" in plan
+    assert "Generate" not in plan  # no posexplode
+    assert "Join" not in plan
