@@ -506,6 +506,80 @@ SELECT doc_id, CAST({_SIM_VAL} AS BIGINT) AS simhash FROM sums
 """
 
 
+# --- rolling-hash document fingerprint -------------------------------------------
+
+ROLL_BASE = 131
+ROLL_MOD = 1_000_000_007
+TOKEN_MOD = 1_000_003
+
+
+def doc_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive polynomial rolling hash over the token stream
+    (Rabin-Karp style): fp = fold(tokens, (acc, t) -> (acc*B + h(t)) mod P).
+    Unlike the md5 set fingerprint (dedup_exact), this is sequential —
+    token order changes the value — and it streams through one
+    Catalyst ``aggregate`` fold per row (no shuffle at all; the 100 TB
+    cost is one pass over text).  Both engines seed the fold with the
+    first token's code (DuckDB's list_reduce has no explicit init)."""
+    d = _docs(spark, sf_dir)
+    codes = (
+        "transform(split(text, ' '), t ->"
+        f" cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % {TOKEN_MOD})"
+    )
+    fp = (
+        f"aggregate(slice(c, 2, size(c) - 1), c[0],"
+        f" (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD})"
+    )
+    return (
+        d.selectExpr("doc_id", f"{codes} AS c")
+        .selectExpr("doc_id", f"{fp} AS fingerprint", "size(c) AS n_tokens")
+    )
+
+
+ROLLING_FP_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         [CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % {TOKEN_MOD}
+          FOR t IN string_split(text, ' ')] AS codes
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(codes, (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD}) AS fingerprint,
+       CAST(LENGTH(codes) AS INT) AS n_tokens
+FROM c
+"""
+
+
+# --- stratified sampling (per-group deterministic subsample) ----------------------
+
+SAMPLE_K = 20
+
+
+def stratified_sample(spark, sf_dir):
+    """Exact per-stratum subsample: k rows per event_type, selected by
+    a deterministic uniform shuffle key (md5 of the row key) — the
+    training-data subsampling op.  One shuffle (window partition);
+    at scale the same shape works with any stratum column."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.md5(F.col("event_id").cast("string"))
+    w = W.partitionBy("event_type").orderBy(key, F.asc("event_id"))
+    return (
+        ev.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= SAMPLE_K)
+        .select("event_type", "event_id", "value", "sample_rank")
+    )
+
+
+STRATIFIED_SQL = f"""
+SELECT event_type, event_id, value, sample_rank FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS sample_rank
+  FROM events
+) WHERE sample_rank <= {SAMPLE_K}
+"""
+
+
 # --- near-dup clustering: connected components over Jaccard pairs ---------------
 
 MAX_CC_ITERS = 20
@@ -607,4 +681,6 @@ TEXT_QUERIES = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
     "dedup_jaccard_lsh": (dedup_jaccard_lsh, JACCARD_LSH_SQL),
     "simhash": (simhash, SIMHASH_SQL),
+    "doc_rolling_fingerprint": (doc_rolling_fingerprint, ROLLING_FP_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SQL),
 }

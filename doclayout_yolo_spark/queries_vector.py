@@ -478,6 +478,94 @@ FROM truth LEFT JOIN cand ON truth.vec_a = cand.vec_a AND truth.vec_b = cand.vec
 """
 
 
+# --- IVF ANN (coarse quantizer + cell-restricted exact search) --------------------
+#
+# The second scale path next to LSH: an inverted-file index.  Build =
+# assign every vector to its nearest coarse centroid (here: the first
+# K_CELLS data vectors as a deterministic stand-in for k-means
+# centroids — a trained codebook would broadcast the same way).
+# Query = probe only the query's own cell (nprobe=1) and rank by exact
+# cosine inside it.  At 10^9 vectors the assignment is one broadcast
+# matmul pass and each query touches ~n/K_CELLS candidates; recall is
+# traded via nprobe exactly like the reference ANN literature.
+
+K_CELLS = 16
+
+
+def ann_ivf(spark, sf_dir):
+    emb = _with_norm(_emb(spark, sf_dir))
+    cents = emb.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cn"),
+    )
+    sim_c = F.round(
+        _dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cn")), 6
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc("cent_sim"), F.asc("cent_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "vec", "nrm", "cent_id", sim_c.alias("cent_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "nrm", F.col("cent_id").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("tvec"),
+        F.col("nrm").alias("tn"),
+        "cell",
+    )
+    pairs = q.join(cand, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(
+        _dot(F.col("qvec"), F.col("tvec")) / (F.col("qn") * F.col("tn")), 6
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.select("cell", "query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cn FROM e WHERE vec_id < {K_CELLS}),
+assigned AS (
+  SELECT vec_id, vec, nrm, cent_id AS cell FROM (
+    SELECT e.vec_id, e.vec, e.nrm, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_dot_product(e.vec, c.cvec) / (e.nrm * c.cn), 6) DESC,
+                      c.cent_id ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT q.cell, q.vec_id AS query_id, t.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.vec, t.vec) / (q.nrm * t.nrm), 6) AS cosine
+  FROM assigned q JOIN assigned t ON q.cell = t.cell AND q.vec_id <> t.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT cell, query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {TOPK}
+"""
+
+
 VECTOR_QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "embedding_label_stats": (embedding_label_stats, EMB_STATS_SQL),
@@ -485,4 +573,5 @@ VECTOR_QUERIES = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, COSINE_DUP_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_lsh_multiband": (ann_lsh_multiband, ANN_MULTIBAND_SQL),
+    "ann_ivf": (ann_ivf, ANN_IVF_SQL),
 }

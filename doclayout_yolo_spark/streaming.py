@@ -124,6 +124,51 @@ def stateful_host_counter(
     )
 
 
+def stateful_url_dedup(pages_stream: DataFrame, timeout_s: int = 24 * 3600):
+    """Streaming exact dedup: emit only the FIRST occurrence of each
+    url across micro-batches (Spark-managed keyed state; the crawl
+    re-fetch suppressor).  State is one flag per url with a
+    processing-time timeout so the state store is bounded by the
+    re-crawl horizon, not the corpus.  At 10^12 urls the same shape
+    shards state across executors by the url hash."""
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd  # noqa: PLC0415
+
+        url = key[0]
+        n_dups = state.get[0] if state.exists else -1
+        first_bytes = 0
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            if n_dups == -1 and len(pdf):
+                first_bytes = int(pdf["html_bytes"].iloc[0])
+        emit = n_dups == -1  # never seen before this batch
+        state.update((max(n_dups, 0) + n_new,))
+        state.setTimeoutDuration(timeout_s * 1000)
+        if emit:
+            yield pd.DataFrame(
+                {"url": [url], "html_bytes": [first_bytes]}
+            )
+        else:
+            yield pd.DataFrame({"url": [], "html_bytes": []})
+
+    keyed = pages_stream.select(
+        "url", F.length("html").alias("html_bytes")
+    )
+    return keyed.groupBy("url").applyInPandasWithState(
+        update,
+        outputStructType="url string, html_bytes long",
+        stateStructType="n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_region_counts(
     pages_with_regions: DataFrame,
     window: str = "1 hour",

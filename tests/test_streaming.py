@@ -123,3 +123,37 @@ def test_batch_replay_is_idempotent(spark, tmp_path_factory):
     # a different batch_id appends, never clobbers other partitions
     write_extracted_batch(pages.limit(5), 8, out, n_buckets=4)
     assert spark.read.parquet(out).count() == 45
+
+
+def test_stateful_url_dedup(spark, tmp_path_factory):
+    # duplicates split across micro-batches: each url must be emitted
+    # exactly once (first occurrence wins; later re-fetches suppressed
+    # by keyed state)
+    import pandas as pd
+
+    from doclayout_yolo_spark.streaming import (
+        read_pages_stream,
+        stateful_url_dedup,
+    )
+
+    base = tmp_path_factory.mktemp("urldedup")
+    in_dir, ckpt = str(base / "in"), str(base / "ckpt")
+    pdf = generate_pages_pandas(20)
+    dup = pd.concat([pdf, pdf.iloc[:10], pdf.iloc[:5]], ignore_index=True)
+    df = spark.createDataFrame(dup, schema=PAGES_DDL)
+    df.repartition(5).write.parquet(in_dir)
+
+    stream = read_pages_stream(spark, in_dir, max_files_per_trigger=1)
+    deduped = stateful_url_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("url_dedup")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select url from url_dedup").collect()
+    urls = [r["url"] for r in rows]
+    assert sorted(urls) == sorted(pdf["url"])  # each exactly once
