@@ -216,17 +216,32 @@ MAX_SHINGLE_DF = 50
 
 
 def _shingles(spark, sf_dir):
+    """Distinct (doc_id, 3-gram) rows, PERSISTED: every dedup query
+    reuses this subtree several times (df cap, per-doc counts, both
+    sides of the intersection join, minhash signatures), and Spark's
+    CacheManager matches cached plans structurally, so one
+    materialization serves them all.  Without it the scan->explode->
+    distinct subtree — the dominant cost at 100 TB — re-executes up to
+    9x per query (measured in round 2's plan audit).  MEMORY_AND_DISK:
+    at cluster scale this is the 'stage the shingle table once'
+    pattern, spilling instead of recomputing."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
-    return toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(w) - 3),"
-                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-            )
-        ).alias("sh"),
-    ).distinct()
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 def _capped_shingles(spark, sf_dir):
