@@ -476,7 +476,7 @@ JACCARD_LSH_SQL = JACCARD_LSH_SQL.format(mins=_MINS_DUCK, bands=_BANDS_DUCK)
 SIMHASH_BITS = 16
 
 
-def simhash(spark, sf_dir):
+def _simhash_df(spark, sf_dir, bits: int):
     d = _docs(spark, sf_dir)
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word")
@@ -487,23 +487,35 @@ def simhash(spark, sf_dir):
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
+            for b in range(bits)
         ]
     )
     sim = None
-    for b in range(SIMHASH_BITS):
+    for b in range(bits):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return bit_sums.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
-_SIM_SUMS = ",\n         ".join(
-    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
-    for b in range(SIMHASH_BITS)
-)
-_SIM_VAL = " + ".join(
-    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
-)
+def simhash(spark, sf_dir):
+    return _simhash_df(spark, sf_dir, SIMHASH_BITS)
+
+
+def _sim_sums_duck(bits: int) -> str:
+    return ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+
+
+def _sim_val_duck(bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+
+
+_SIM_SUMS = _sim_sums_duck(SIMHASH_BITS)
+_SIM_VAL = _sim_val_duck(SIMHASH_BITS)
 
 SIMHASH_SQL = f"""
 WITH words AS (
@@ -518,6 +530,196 @@ sums AS (
   FROM hashed GROUP BY doc_id
 )
 SELECT doc_id, CAST({_SIM_VAL} AS BIGINT) AS simhash FROM sums
+"""
+
+
+# --- TF-IDF top terms per document -------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document top-k terms by tf * ln(N/df) — the classic
+    relevance weighting as two aggregations and a broadcast-joined
+    document-frequency table.  At corpus scale the df table is the
+    only global state (one groupBy over terms); everything else is
+    per-document."""
+    d = _docs(spark, sf_dir)
+    # corpus size as a broadcast 1-row aggregate (keeps the query lazy —
+    # no driver-side action inside the builder)
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = words.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        .alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+    )
+
+
+TFIDF_SQL = f"""
+WITH words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+w AS (SELECT doc_id, term FROM words WHERE LENGTH(term) > 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOPK}
+"""
+
+
+# --- repetition ratio (Gopher-style quality signal) ---------------------------------
+
+def repetition_ratio(spark, sf_dir):
+    """Fraction of the document taken by its most frequent term — the
+    repetition quality signal large-corpus filters use (a page that is
+    30% one token is boilerplate).  One groupBy + argmax window."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    totals = words.groupBy("doc_id").agg(F.count("*").alias("n_terms"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    top = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "tf")
+    )
+    return top.join(totals, "doc_id").select(
+        "doc_id",
+        "top_term",
+        F.round(F.col("tf") / F.col("n_terms").cast("double"), 6)
+        .alias("repetition_ratio"),
+    )
+
+
+REPETITION_SQL = """
+WITH words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+w AS (SELECT doc_id, term FROM words WHERE LENGTH(term) > 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+totals AS (SELECT doc_id, COUNT(*) AS n_terms FROM w GROUP BY 1),
+top AS (
+  SELECT doc_id, term AS top_term, tf FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rn
+    FROM tf
+  ) WHERE rn = 1
+)
+SELECT top.doc_id, top.top_term,
+       ROUND(top.tf / CAST(totals.n_terms AS DOUBLE), 6) AS repetition_ratio
+FROM top JOIN totals ON top.doc_id = totals.doc_id
+"""
+
+
+# --- SimHash hamming near-dup pairs (banded) ----------------------------------------
+
+HAMMING_MAX = 2
+HAMMING_BITS = 32  # 16-bit simhash collides too much for d<=2 semantics
+SIM_BANDS = ((0, 11), (11, 11), (22, 10))  # (shift, width): cover 32 bits
+
+
+def simhash_hamming_pairs(spark, sf_dir):
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= 2, found
+    WITHOUT an all-pairs join: pigeonhole banding — 16 bits split into
+    3 bands, so any pair within distance 2 must agree exactly on at
+    least one band (2 flipped bits can spoil at most 2 bands).
+    Candidates share a band bucket; the xor bit_count verifies.
+    Uses a 32-bit signature: at 16 bits a 500-doc random corpus already
+    collides heavily within distance 2 (the query stays correct but the
+    output is noise); 32 bits makes d<=2 a meaningful near-dup signal.
+    The same banding generalizes to 64-bit production simhash."""
+    sim = _simhash_df(spark, sf_dir, HAMMING_BITS)
+    bands = None
+    for i, (shift, width) in enumerate(SIM_BANDS):
+        b = sim.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("band"),
+            (F.shiftright("simhash", shift) % (1 << width)).alias("bucket"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,"
+                    " a.simhash AS sa, b.simhash AS sb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.expr("bit_count(sa ^ sb)").cast("long"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_SIM_BANDS_DUCK = "\nUNION ALL\n".join(
+    f"SELECT doc_id, simhash, {i} AS band, (simhash >> {shift}) % {1 << width} AS bucket FROM s"
+    for i, (shift, width) in enumerate(SIM_BANDS)
+)
+
+SIMHASH_HAMMING_SQL = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+  WHERE LENGTH(word) > 0
+),
+hashed AS (SELECT doc_id, {_H64_DUCK.format(x="word")} AS h FROM words),
+sums AS (
+  SELECT doc_id,
+         {_sim_sums_duck(HAMMING_BITS)}
+  FROM hashed GROUP BY doc_id
+),
+s AS (SELECT doc_id, CAST({_sim_val_duck(HAMMING_BITS)} AS BIGINT) AS simhash FROM sums),
+bands AS ({_SIM_BANDS_DUCK}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}
 """
 
 
@@ -698,4 +900,7 @@ TEXT_QUERIES = {
     "simhash": (simhash, SIMHASH_SQL),
     "doc_rolling_fingerprint": (doc_rolling_fingerprint, ROLLING_FP_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
+    "repetition_ratio": (repetition_ratio, REPETITION_SQL),
+    "simhash_hamming_pairs": (simhash_hamming_pairs, SIMHASH_HAMMING_SQL),
 }

@@ -158,6 +158,100 @@ FROM documents
 """
 
 
+# --- multimodal frame-sample / resize stubs ---------------------------------------
+#
+# Video/image analogs over the opaque binary payload: frame sampling =
+# fixed-size chunking + every-k-th selection; resize = byte-stride
+# downsampling.  The media decode itself is honestly faked (no codec
+# libs in this container); the Spark plumbing — binary column, Arrow
+# batches, per-chunk NumPy work, schema — is real and oracle-checked.
+
+CHUNK = 256   # "frame" size in bytes
+FRAME_STRIDE = 4  # sample every 4th frame
+RESIZE_STRIDE = 4  # keep every 4th byte
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def kernel(batches):
+        import hashlib  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_frames": [], "n_sampled": [], "sample_md5": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b) if b is not None else b""
+                frames = [raw[i:i + CHUNK] for i in range(0, len(raw), CHUNK)]
+                sampled = frames[::FRAME_STRIDE]
+                rows["doc_id"].append(int(doc_id))
+                rows["n_frames"].append(len(frames))
+                rows["n_sampled"].append(len(sampled))
+                rows["sample_md5"].append(
+                    hashlib.md5(b"".join(sampled)).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        kernel,
+        schema="doc_id long, n_frames long, n_sampled long, sample_md5 string",
+    )
+
+
+FRAME_SAMPLE_SQL = f"""
+SELECT doc_id,
+       CAST(CEIL(LENGTH(text) / {CHUNK}.0) AS BIGINT) AS n_frames,
+       CAST(CEIL(CEIL(LENGTH(text) / {CHUNK}.0) / {FRAME_STRIDE}.0) AS BIGINT) AS n_sampled,
+       md5(array_to_string(
+         [substr(text, i * {CHUNK * FRAME_STRIDE} + 1, {CHUNK})
+          FOR i IN RANGE(0, CAST(CEIL(CEIL(LENGTH(text) / {CHUNK}.0) / {FRAME_STRIDE}.0) AS BIGINT))],
+         '')) AS sample_md5
+FROM documents
+"""
+
+
+def multimodal_resize_stub(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def kernel(batches):
+        import hashlib  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_bytes_in": [], "n_bytes_out": [], "resized_md5": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b) if b is not None else b""
+                small = raw[::RESIZE_STRIDE]
+                rows["doc_id"].append(int(doc_id))
+                rows["n_bytes_in"].append(len(raw))
+                rows["n_bytes_out"].append(len(small))
+                rows["resized_md5"].append(hashlib.md5(small).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        kernel,
+        schema="doc_id long, n_bytes_in long, n_bytes_out long, resized_md5 string",
+    )
+
+
+RESIZE_SQL = f"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_bytes_in,
+       CAST(CEIL(LENGTH(text) / {RESIZE_STRIDE}.0) AS BIGINT) AS n_bytes_out,
+       md5(array_to_string(
+         [substr(text, i * {RESIZE_STRIDE} + 1, 1)
+          FOR i IN RANGE(0, CAST(CEIL(LENGTH(text) / {RESIZE_STRIDE}.0) AS BIGINT))],
+         '')) AS resized_md5
+FROM documents
+"""
+
+
 # --- embedding-cosine near-duplicate pairs (dedup family) ---------------------
 
 # the driver testdata plants no true embedding near-dups (max pairwise
@@ -570,6 +664,8 @@ VECTOR_QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "embedding_label_stats": (embedding_label_stats, EMB_STATS_SQL),
     "multimodal_decode_stub": (multimodal_decode_stub, DECODE_SQL),
+    "multimodal_frame_sample": (multimodal_frame_sample, FRAME_SAMPLE_SQL),
+    "multimodal_resize_stub": (multimodal_resize_stub, RESIZE_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, COSINE_DUP_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_lsh_multiband": (ann_lsh_multiband, ANN_MULTIBAND_SQL),

@@ -76,7 +76,14 @@ def test_minhash_scans_documents_once(spark):
     from doclayout_yolo_spark.queries_text import dedup_minhash_lsh
 
     plan = plan_of(dedup_minhash_lsh(spark, SF_DIR), "simple")
-    assert plan.count("FileScan parquet") == 1
+    # the shingle subtree is persisted: either the cache is already
+    # materialized (InMemoryTableScan serves every reuse — computed
+    # once by definition; explain then also prints the cache's own
+    # defining FileScan) or the plan reads the file exactly once
+    if "InMemoryTableScan" in plan:
+        assert plan.count("FileScan parquet") <= 2
+    else:
+        assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan  # pairs come from in-bucket expansion
 
 
