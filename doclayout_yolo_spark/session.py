@@ -7,8 +7,11 @@ identical settings:
 - shuffle partitions sized to cores, not the 200 default
 - Arrow enabled + ``maxRecordsPerBatch`` tuned explicitly for
   binary-html payload rows (north rule: "Arrow batch sizing tuned
-  explicitly"; P1) — 256 rows/batch keeps per-batch memory bounded at
-  ~tens of MB for Common-Crawl-sized pages.
+  explicitly"; P1).  1024 rows/batch measured ~10% faster end-to-end
+  extraction than 256 in an interleaved A/B at local[32] (fewer
+  Arrow round-trips; per-batch memory stays ~30 MB at Common-Crawl
+  page weight, far under executor headroom; 4096 regressed again —
+  worse pipelining).
 """
 
 from __future__ import annotations
@@ -17,7 +20,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 256
+ARROW_BATCH_ROWS = 1024
 
 
 def get_spark(
