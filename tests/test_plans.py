@@ -96,3 +96,45 @@ def test_lsh_signature_is_single_mapinpandas(spark):
     assert "MapInPandas" in plan
     assert "Generate" not in plan  # no posexplode
     assert "Join" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    # the Iceberg bucket-transform story, demonstrated with Spark
+    # bucketed tables: two fact tables bucketed+sorted on the join key
+    # join with ZERO Exchange nodes — the co-located join that turns
+    # the biggest shuffle at 100 TB into a local merge
+    import re
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # a previously crashed run can leave orphan table dirs behind
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem"))
+    # sf0.001 dims are under the broadcast threshold; disable it so the
+    # plan shows the co-located merge join a fact-fact join gets at scale
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            spark.table("b_lineitem").l_orderkey == spark.table("b_orders").o_orderkey,
+        ).groupBy("o_orderpriority").count()
+        plan = plan_of(joined, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    assert "SortMergeJoin" in plan
+    # the join itself must not shuffle either side (bucket co-location);
+    # only the tiny post-join aggregation may exchange
+    assert not re.search(r"Exchange hashpartitioning\(\w*(l_orderkey|o_orderkey)", plan)
+    n = joined.collect()
+    assert sum(r["count"] for r in n) == li.count()
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
