@@ -407,6 +407,66 @@ def refine_region_scores(spark, sf_dir):
     return refine_regions(out)
 
 
+N_COPY = 10  # planted duplicate pages (re-crawls under a tracking url)
+
+
+def corpus_curation_pipeline(spark, sf_dir):
+    """The 100 TB workload end-to-end in ONE query: pages -> layout
+    extraction (mapInPandas kernel) -> exact content dedup on the
+    EXTRACTED text (md5 fingerprint, min-url wins — re-crawls under
+    tracking urls collapse because boilerplate was stripped first) ->
+    quality gate.  Duplicates are planted deterministically: the first
+    N_COPY documents appear again under '?ref=copy' urls.  The closed
+    form of the controlled page shape makes the whole chain
+    SQL-oracle-able."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = _pages_from_documents(spark, sf_dir)
+    copies = docs.filter(F.col("doc_id") < N_COPY)
+    copy_pages = _pages_from_documents(spark, sf_dir).join(
+        F.broadcast(copies.select(
+            F.concat(F.lit("https://testdata.local/doc/"),
+                     F.col("doc_id").cast("string")).alias("url"))),
+        "url",
+    ).select(
+        F.concat(F.col("url"), F.lit("?ref=copy")).alias("url"), "html"
+    )
+    out = extract_pages(pages.unionByName(copy_pages), n_buckets=64)
+    fp = out.select(
+        "url",
+        F.length("extracted_text").alias("n_chars"),
+        F.md5(F.col("extracted_text")).alias("fp"),
+    )
+    w = W.partitionBy("fp").orderBy("url")
+    wall = W.partitionBy("fp")
+    return fp.select(
+        "url",
+        "n_chars",
+        F.count("*").over(wall).cast("long").alias("dup_group_size"),
+        (
+            (F.row_number().over(w) == 1) & (F.col("n_chars") >= 20)
+        ).cast("long").alias("kept"),
+    )
+
+
+CURATION_SQL = f"""
+WITH pages AS (
+  SELECT 'https://testdata.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || text AS extracted_text
+  FROM documents
+  UNION ALL
+  SELECT 'https://testdata.local/doc/' || CAST(doc_id AS VARCHAR) || '?ref=copy' AS url,
+         'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || text AS extracted_text
+  FROM documents WHERE doc_id < {N_COPY}
+),
+fp AS (SELECT url, LENGTH(extracted_text) AS n_chars, md5(extracted_text) AS fp FROM pages)
+SELECT url, n_chars,
+       COUNT(*) OVER (PARTITION BY fp) AS dup_group_size,
+       CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY fp ORDER BY url) = 1
+                  AND n_chars >= 20 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM fp
+"""
+
+
 def label_verify(spark, sf_dir):
     """S9: YOLO label scan + verify (data/utils.py:166-224 semantics):
     derive 5-col normalized labels, keep rows with all coords in [0,1]
@@ -502,6 +562,7 @@ DETECT_QUERIES = {
         _golden_sql("det_grouped_postprocess"),
     ),
     "extract_pages": (extract_pages_flagship, FLAGSHIP_SQL),
+    "corpus_curation_pipeline": (corpus_curation_pipeline, CURATION_SQL),
     "extract_region_rows": (extract_region_rows, REGION_ROWS_SQL),
     "detection_map": (detection_map, _golden_sql("detection_map")),
     "det_confusion_matrix": (

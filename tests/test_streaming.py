@@ -157,3 +157,60 @@ def test_stateful_url_dedup(spark, tmp_path_factory):
     rows = spark.sql("select url from url_dedup").collect()
     urls = [r["url"] for r in rows]
     assert sorted(urls) == sorted(pdf["url"])  # each exactly once
+
+
+def test_watermark_drops_late_events(spark, tmp_path_factory):
+    # event-time correctness in append mode: a late event (older than
+    # the watermark) must not reopen its already-finalized window
+    import datetime as dt
+
+    import pandas as pd
+
+    base = tmp_path_factory.mktemp("late")
+    in_dir, ckpt = str(base / "in"), str(base / "ckpt")
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    schema = "url string, warc_ts timestamp, lang string, n_regions long"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "warc_ts", "lang", "n_regions"]),
+            schema=schema,
+        )
+
+    from doclayout_yolo_spark.streaming import windowed_region_counts
+
+    out_dir = str(base / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        agg = windowed_region_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: u1 at t0 plus u2 at t0+4h -> watermark ends at t0+2h,
+    # which finalizes and emits the [t0, t0+1h) window
+    frame([
+        ("u1", t0, "en", 2),
+        ("u2", t0 + dt.timedelta(hours=4), "en", 3),
+    ]).write.mode("append").parquet(in_dir)
+    run_once()
+    # run 2: a LATE event back inside the finalized t0 window, plus a
+    # fresh on-time event so the batch triggers state eviction
+    frame([
+        ("u3", t0 + dt.timedelta(minutes=5), "en", 7),
+        ("u4", t0 + dt.timedelta(hours=5), "en", 1),
+    ]).write.mode("append").parquet(in_dir)
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    by_win = {r["window_start"]: (r["n_pages"], r["n_regions"]) for r in rows}
+    # the t0 window reflects ONLY the on-time u1 row; the late u3 was
+    # dropped, and the window was never re-emitted
+    assert by_win.get(t0) == (1, 2), by_win
+    assert sum(1 for r in rows if r["window_start"] == t0) == 1
