@@ -499,6 +499,47 @@ FROM documents
 """
 
 
+# --- salted skew join ------------------------------------------------------------
+
+N_JOIN_SALTS = 8
+
+
+def salted_skew_join(spark, sf_dir):
+    """Hot-key join treatment: the fact side gets a random-but-
+    deterministic salt (hash of the row key), the dim side is
+    replicated once per salt, and the join key becomes (key, salt) —
+    a single hot user_id now spreads over N_JOIN_SALTS reducers
+    instead of melting one.  Result is identical to the unsalted join
+    (the oracle is the plain join), which is exactly the point: same
+    answer, bounded per-task input at any skew.  AQE skew-split is the
+    runtime backstop; salting is the planned treatment."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(N_JOIN_SALTS)).alias("salt"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    salts = spark.range(N_JOIN_SALTS).select(F.col("id").alias("salt"))
+    cust_rep = cust.crossJoin(F.broadcast(salts))
+    joined = ev.join(cust_rep, ["user_id", "salt"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4)
+        .alias("sum_value"),
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 EXTRA_QUERIES = {
     "coordinate_views": (coordinate_views, COORD_VIEWS_SQL),
     "max_f1_threshold": (max_f1_threshold, MAX_F1_SQL),
@@ -512,4 +553,5 @@ EXTRA_QUERIES = {
     "asof_click_before_purchase": (asof_click_before_purchase, ASOF_SQL),
     "keyword_class_scores": (keyword_class_scores, KEYWORD_SQL),
     "region_json_summary": (region_json_summary, REGION_JSON_SQL),
+    "salted_skew_join": (salted_skew_join, SALTED_JOIN_SQL),
 }

@@ -94,3 +94,38 @@ def test_greedy_match_bounds(seed):
         assert tp[:, t].sum() <= min(nd, ng)
         if t > 0:
             assert tp[:, t].sum() <= tp[:, t - 1].sum()
+
+
+@given(
+    n_det=st.integers(0, 12),
+    n_gt=st.integers(0, 8),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_confusion_pairs_invariants(n_det, n_gt, seed):
+    """Every gt contributes exactly one increment; matched detections
+    contribute exactly once; totals are bounded; background index only
+    in the defined slots."""
+    import numpy as np
+
+    from doclayout_yolo_spark.metrics import confusion_pairs
+
+    rng = np.random.RandomState(seed)
+    nc = 5
+    det = rng.rand(n_det, 4).astype(np.float32) * 100
+    det[:, 2:] += det[:, :2] + 5
+    gt = rng.rand(n_gt, 4).astype(np.float32) * 100
+    gt[:, 2:] += gt[:, :2] + 5
+    det_cls = rng.randint(0, nc, n_det)
+    gt_cls = rng.randint(0, nc, n_gt)
+    det_conf = rng.rand(n_det)
+    pairs = confusion_pairs(det, det_cls, det_conf, gt, gt_cls, nc)
+    gt_increments = [p for p in pairs if p[1] != nc]
+    assert len(gt_increments) == n_gt  # one per ground-truth box
+    # detection-side: each det appears at most once across all slots
+    n_kept = int((det_conf > 0.25).sum())
+    det_increments = [p for p in pairs if p[0] != nc]
+    assert len(det_increments) <= n_kept
+    for pc, gc in pairs:
+        assert 0 <= pc <= nc and 0 <= gc <= nc
+        assert not (pc == nc and gc == nc)  # background-background never
