@@ -316,6 +316,68 @@ def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
     return spark.read.parquet(data_path(output_path))
 
 
+def stale_buckets(
+    spark: SparkSession, output_path: str, version: str = KERNEL_VERSION
+) -> list[int]:
+    """Buckets whose newest manifest row was written by an OLDER
+    kernel: the targets of an incremental re-extraction after a kernel
+    upgrade (the Iceberg snapshot-evolution analog — reprocess only
+    what the new code would change, not the whole corpus)."""
+    done = None
+    try:
+        done = spark.read.parquet(_manifest_path(output_path))
+    except Exception:
+        return []
+    current = done.filter(F.col("kernel_version") == version).select(
+        "part_id"
+    ).distinct()
+    stale = (
+        done.select("part_id").distinct()
+        .join(current, "part_id", "left_anti")
+        .collect()
+    )
+    return sorted(r["part_id"] for r in stale)
+
+
+def reprocess_stale_buckets(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    num_partitions: int | None = None,
+) -> dict:
+    """Re-extract only the buckets stamped with an older kernel
+    version.  Data partitions are replaced via DYNAMIC partition
+    overwrite (idempotent — a crashed re-run repeats harmlessly), then
+    the manifest gains current-version rows, after which
+    ``stale_buckets`` reports empty.  Old manifest rows stay as
+    history, exactly like superseded Iceberg snapshots."""
+    stale = stale_buckets(spark, output_path)
+    if not stale:
+        return {"n_docs": 0, "n_buckets_reprocessed": 0}
+    sc = spark.sparkContext
+    lineage_acc = sc.accumulator([], _ListAccum())
+    bucketed = with_part_id(pages.select("url", "html"), n_buckets).filter(
+        F.col("part_id").isin(stale)
+    )
+    parts = num_partitions or sc.defaultParallelism
+    out = bucketed.repartition(parts, "part_id").mapInPandas(
+        lambda it: _extract_batches(it, lineage_acc), schema=OUTPUT_DDL
+    )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_id")
+        .parquet(data_path(output_path))
+    )
+    n_docs = sum(r["n_docs"] for r in lineage_acc.value)
+    spark.createDataFrame(
+        [(p, KERNEL_VERSION) for p in stale],
+        schema="part_id int, kernel_version string",
+    ).write.mode("append").parquet(_manifest_path(output_path))
+    return {"n_docs": n_docs, "n_buckets_reprocessed": len(stale)}
+
+
 # ---------------------------------------------------------------------------
 # skew-aware host aggregation (salting exemplar, P9)
 # ---------------------------------------------------------------------------

@@ -160,3 +160,55 @@ def test_host_stats_salted_agg_correct(spark, pages_df):
     }
     assert got == naive
     assert max(got.values()) > 3 * min(got.values())  # skew actually present
+
+
+def test_kernel_version_reprocessing(spark, tmp_path_factory):
+    # Iceberg snapshot-evolution analog: after a kernel upgrade, only
+    # buckets stamped with the old version are re-extracted, via
+    # idempotent dynamic partition overwrite + manifest append
+    from doclayout_yolo_spark.pipeline import (
+        reprocess_stale_buckets,
+        run_extraction_job,
+        stale_buckets,
+    )
+
+    out = str(tmp_path_factory.mktemp("reproc") / "o")
+    pages = generate_pages_df(spark, 60, partitions=4)
+    run_extraction_job(spark, pages, out, n_buckets=8)
+    before = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(f"{out}/data").collect()
+    }
+    assert stale_buckets(spark, out) == []
+
+    # simulate a prior run under an older kernel: rewrite the manifest
+    # stamping half the buckets with "v0"
+    mdir = f"{out}/_manifest"
+    man = spark.read.parquet(mdir).collect()
+    rows = [
+        (r["part_id"], "v0" if r["part_id"] % 2 == 0 else r["kernel_version"])
+        for r in man
+    ]
+    import shutil
+
+    shutil.rmtree(mdir)
+    spark.createDataFrame(
+        rows, schema="part_id int, kernel_version string"
+    ).write.parquet(mdir)
+    expect_stale = sorted({p for p, v in rows if v == "v0"})
+    assert stale_buckets(spark, out) == expect_stale
+
+    res = reprocess_stale_buckets(spark, pages, out, n_buckets=8)
+    assert res["n_buckets_reprocessed"] == len(expect_stale)
+    assert res["n_docs"] > 0
+    # content identical (deterministic kernel), no duplicates, stale gone
+    after = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(f"{out}/data").collect()
+    }
+    assert after == before
+    assert spark.read.parquet(f"{out}/data").count() == 60
+    assert stale_buckets(spark, out) == []
+    # and a plain resume still sees everything complete
+    r2 = run_extraction_job(spark, pages, out, n_buckets=8)
+    assert r2["n_docs"] == 0
