@@ -485,14 +485,27 @@ class Region:
 
 
 def extract_document(html: bytes | str) -> tuple[str, list[Region], dict]:
-    """HTML -> (extracted_text, regions-in-reading-order, meta).
+    """HTML or PDF -> (extracted_text, regions-in-reading-order, meta).
+
+    The source dispatcher (S6): payloads starting with ``%PDF-`` route
+    to the minimal-PDF layout parser (pdf.py — real coordinates from
+    the text matrix), everything else to the streaming HTML block
+    parser + simulated flow layout.  Both feed the SAME detector ->
+    NMS -> reading-order -> span pipeline, so byte-identity with the
+    oracle holds for both formats by construction.
 
     The text of each surviving region, joined by ``SEPARATOR``, is the
     byte-identity payload; spans carry offsets into it.  ``meta`` holds
     page geometry + counts for lineage.
     """
-    blocks = parse_blocks(html)
-    page_w, page_h = layout_blocks(blocks)
+    if isinstance(html, bytes) and html.startswith(b"%PDF-"):
+        from .pdf import parse_pdf_blocks  # noqa: PLC0415
+
+        blocks, page_w, page_h = parse_pdf_blocks(html)
+        page_w, page_h = np.float32(page_w), np.float32(page_h)
+    else:
+        blocks = parse_blocks(html)
+        page_w, page_h = layout_blocks(blocks)
     boxes_xywh, class_scores = proposals(blocks)
     dets = postprocess(
         boxes_xywh,

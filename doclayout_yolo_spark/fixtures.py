@@ -196,3 +196,53 @@ def generate_pages_df(
             yield make_rows(pdf["id"].to_numpy(), sections)
 
     return rng_df.mapInPandas(gen, schema=PAGES_DDL)
+
+
+def make_pdf_rows(ids) -> "pd.DataFrame":
+    """Seeded single-page PDFs: title (24pt), 2-4 body paragraphs
+    (12pt), a footer line inside the boilerplate strip.  Deterministic
+    per id; body wording reuses the HTML generator's vocabulary so the
+    two formats exercise the same text statistics."""
+    import numpy as np  # noqa: PLC0415
+
+    from .pdf import build_pdf  # noqa: PLC0415
+
+    rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+    base_ts = pd.Timestamp("2026-01-01")
+    for i in ids:
+        rng = np.random.RandomState(982_451_653 ^ int(i))
+        n_par = int(rng.randint(2, 5))
+        title = f"Pdf document {int(i)} " + " ".join(
+            rng.choice(_WORDS, 3).tolist()
+        )
+        texts = [(title, 24.0, 60.0, 80.0)]
+        body = []
+        y = 140.0
+        for _ in range(n_par):
+            para = " ".join(rng.choice(_WORDS, int(rng.randint(15, 40))).tolist())
+            texts.append((para, 12.0, 60.0, y))
+            body.append(para)
+            y += 30.0 + float(rng.randint(0, 10))
+        texts.append((f"copyright {int(i)} example corp", 9.0, 60.0, 760.0))
+        rows["url"].append(f"https://pdfhost{int(i) % 7:02d}.example.com/doc/{int(i)}.pdf")
+        rows["warc_ts"].append(base_ts + pd.Timedelta(seconds=int(i)))
+        rows["html"].append(build_pdf(texts))
+        rows["text"].append(" ".join(body))
+        rows["lang"].append("en")
+    return pd.DataFrame(rows)
+
+
+def generate_pdf_pages_df(spark, n: int, partitions: int | None = None):
+    """Distributed seeded PDF pages in the same (url, warc_ts, html,
+    text, lang) input-hint schema — `html` carries PDF bytes; the
+    extraction dispatcher routes on the %PDF- magic."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+    rng_df = spark.range(0, n, 1, parts).select(F.col("id"))
+
+    def gen(batches):
+        for pdf in batches:
+            yield make_pdf_rows(pdf["id"].to_numpy())
+
+    return rng_df.mapInPandas(gen, schema=PAGES_DDL)

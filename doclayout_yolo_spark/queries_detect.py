@@ -407,6 +407,55 @@ def refine_region_scores(spark, sf_dir):
     return refine_regions(out)
 
 
+def _pdf_pages_from_documents(spark, sf_dir):
+    """Wrap documents rows into minimal single-page PDFs (title at
+    24pt, body at 12pt, footer in the boilerplate strip) — the PDF
+    twin of ``_pages_from_documents``."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def kernel(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from doclayout_yolo_spark.pdf import build_pdf  # noqa: PLC0415
+
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                urls.append(f"https://testdata.local/pdf/{int(doc_id)}.pdf")
+                htmls.append(
+                    build_pdf(
+                        [
+                            (f"Doc {int(doc_id)}", 24.0, 60.0, 80.0),
+                            (str(text), 12.0, 60.0, 150.0),
+                            ("copyright example", 9.0, 60.0, 760.0),
+                        ]
+                    )
+                )
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    return d.mapInPandas(kernel, schema="url string, html binary")
+
+
+def extract_pdf_pages(spark, sf_dir):
+    """Full extraction over PDF inputs (the north rule's PDF/layout
+    parse leg): dispatcher routes on the %PDF- magic, the shared
+    detector/NMS/reading-order pipeline does the rest.  Closed form
+    for this controlled shape: title block 'Doc <id>' + body text,
+    footer stripped as boilerplate."""
+    pages = _pdf_pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages, n_buckets=64)
+    return out.select("url", "extracted_text", "n_regions", "n_blocks")
+
+
+PDF_FLAGSHIP_SQL = """
+SELECT 'https://testdata.local/pdf/' || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || text AS extracted_text,
+       CAST(2 AS INT) AS n_regions,
+       CAST(3 AS INT) AS n_blocks
+FROM documents
+"""
+
+
 N_COPY = 10  # planted duplicate pages (re-crawls under a tracking url)
 
 
@@ -563,6 +612,7 @@ DETECT_QUERIES = {
     ),
     "extract_pages": (extract_pages_flagship, FLAGSHIP_SQL),
     "corpus_curation_pipeline": (corpus_curation_pipeline, CURATION_SQL),
+    "extract_pdf_pages": (extract_pdf_pages, PDF_FLAGSHIP_SQL),
     "extract_region_rows": (extract_region_rows, REGION_ROWS_SQL),
     "detection_map": (detection_map, _golden_sql("detection_map")),
     "det_confusion_matrix": (

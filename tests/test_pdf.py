@@ -1,0 +1,95 @@
+"""PDF-layout-parse leg: parser semantics, format dispatcher, and
+byte-identity of the Spark pipeline with the oracle on PDF inputs."""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pytest
+
+from doclayout_yolo_spark.extract import extract_document
+from doclayout_yolo_spark.fixtures import PAGES_DDL, generate_pages_pandas, make_pdf_rows
+from doclayout_yolo_spark.oracle import extract_rows
+from doclayout_yolo_spark.pdf import build_pdf, parse_pdf_blocks
+from doclayout_yolo_spark.pipeline import extract_pages
+
+
+def test_pdf_string_escapes_roundtrip():
+    tricky = r"paren (pairs) and \ backslash and ) stray"
+    pdf = build_pdf([(tricky, 12.0, 50.0, 100.0)])
+    blocks, _, _ = parse_pdf_blocks(pdf)
+    assert len(blocks) == 1
+    assert blocks[0].text == tricky
+
+
+def test_pdf_title_body_footer_semantics():
+    pdf = build_pdf([
+        ("Big Title", 24.0, 60.0, 80.0),
+        ("Body paragraph with enough words to be believable.", 12.0, 60.0, 150.0),
+        ("copyright footer", 9.0, 60.0, 760.0),
+        ("running header", 9.0, 60.0, 10.0),
+    ])
+    text, regions, meta = extract_document(pdf)
+    assert text.startswith("Big Title\n\nBody paragraph")
+    assert "copyright" not in text and "running header" not in text
+    assert [r.name for r in regions] == ["title", "plain text"]
+    # real PDF coordinates round-trip (writer baseline conversion is
+    # the parser's inverse): the title box sits at its authored y_top
+    assert regions[0].y1 == pytest.approx(80.0, abs=1.0)
+    assert meta["page_h"] == 792.0
+
+
+def test_pdf_geometry_from_mediabox():
+    pdf = build_pdf([("hello world page", 12.0, 10.0, 20.0)],
+                    page_w=300.0, page_h=400.0)
+    blocks, w, h = parse_pdf_blocks(pdf)
+    assert (w, h) == (300.0, 400.0)
+    assert blocks[0].y1 == pytest.approx(20.0)
+
+
+def test_compressed_stream_yields_no_blocks_not_crash():
+    # FlateDecode is not linked in this sandbox: binary stream bodies
+    # must parse to zero text blocks, never raise
+    junk = zlib.compress(b"BT (hidden) Tj ET")
+    raw = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Length %d /Filter /FlateDecode >>\n"
+        b"stream\n%s\nendstream\nendobj\n" % (len(junk), junk)
+    )
+    text, regions, meta = extract_document(raw)
+    assert text == "" and regions == []
+
+
+def test_pdf_pipeline_byte_identity(spark):
+    import numpy as np
+
+    pdf_rows = make_pdf_rows(np.arange(24))
+    df = spark.createDataFrame(pdf_rows, schema=PAGES_DDL)
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages(df, n_buckets=8).collect()
+    }
+    want = {
+        rec["url"]: rec["extracted_text"]
+        for rec in extract_rows(
+            (u, bytes(h)) for u, h in zip(pdf_rows["url"], pdf_rows["html"])
+        )
+    }
+    assert got == want
+    assert all(t for t in got.values())
+
+
+def test_mixed_html_pdf_single_job(spark):
+    # the source dispatcher: one table, two formats, one kernel pass
+    import numpy as np
+
+    html_rows = generate_pages_pandas(15)
+    pdf_rows = make_pdf_rows(np.arange(15))
+    both = pd.concat([html_rows, pdf_rows], ignore_index=True)
+    df = spark.createDataFrame(both, schema=PAGES_DDL)
+    out = extract_pages(df, n_buckets=8).collect()
+    assert len(out) == 30
+    assert all(r["error"] is None for r in out)
+    pdf_texts = [r for r in out if r["url"].endswith(".pdf")]
+    assert len(pdf_texts) == 15
+    assert all(r["extracted_text"].startswith("Pdf document") for r in pdf_texts)
