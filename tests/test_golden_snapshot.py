@@ -55,3 +55,35 @@ def test_extractor_matches_committed_snapshot():
         assert got_spans == want["spans_sha256"], r["url"]
         assert r["n_regions"] == want["n_regions"]
         assert r["n_blocks"] == want["n_blocks"]
+
+
+PDF_SNAP = os.path.join(
+    os.path.dirname(__file__), "golden", "pdf_extracted_golden.json"
+)
+
+
+def test_pdf_extractor_matches_committed_snapshot():
+    # same drift guard for the PDF leg (regenerate analogously with
+    # fixtures.make_pdf_rows(np.arange(50)) when semantics change
+    # INTENTIONALLY)
+    import numpy as np
+
+    from doclayout_yolo_spark.fixtures import make_pdf_rows
+
+    with open(PDF_SNAP) as f:
+        snap = json.load(f)
+    pdf = make_pdf_rows(np.arange(50))
+    rows = extract_rows(
+        zip(pdf["url"], (bytes(h) for h in pdf["html"]))
+    )
+    assert len(rows) == len(snap)
+    for r in rows:
+        want = snap[r["url"]]
+        got_text = hashlib.sha256(r["extracted_text"].encode()).hexdigest()
+        got_spans = hashlib.sha256(
+            json.dumps(r["spans"], sort_keys=True).encode()
+        ).hexdigest()
+        assert got_text == want["text_sha256"], r["url"]
+        assert got_spans == want["spans_sha256"], r["url"]
+        assert r["n_regions"] == want["n_regions"] > 0
+        assert r["n_blocks"] == want["n_blocks"]
