@@ -129,3 +129,48 @@ def test_confusion_pairs_invariants(n_det, n_gt, seed):
     for pc, gc in pairs:
         assert 0 <= pc <= nc and 0 <= gc <= nc
         assert not (pc == nc and gc == nc)  # background-background never
+
+
+_pdf_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=1, max_size=60,
+).filter(lambda s: s.strip())
+
+
+@given(
+    texts=st.lists(_pdf_text, min_size=1, max_size=6),
+    sizes=st.lists(st.sampled_from([9.0, 12.0, 14.0, 18.0, 24.0]),
+                   min_size=6, max_size=6),
+    seed=st.integers(0, 999),
+)
+@settings(max_examples=80, deadline=None)
+def test_pdf_writer_parser_roundtrip(texts, sizes, seed):
+    """build_pdf -> parse_pdf_blocks round-trips every text object's
+    (normalized) text, position, and font-derived tag — including PDF
+    string metacharacters — for content placed outside the boilerplate
+    strips."""
+    import numpy as np
+
+    from doclayout_yolo_spark.extract import _norm_ws
+    from doclayout_yolo_spark.pdf import (
+        _tag_for_size,
+        build_pdf,
+        parse_pdf_blocks,
+    )
+
+    rng = np.random.RandomState(seed)
+    items = []
+    y = 100.0
+    for i, t in enumerate(texts):
+        items.append((t, sizes[i % len(sizes)], float(rng.randint(40, 200)), y))
+        y += 40.0
+    pdf = build_pdf(items, page_h=max(900.0, y + 200.0))
+    blocks, _, page_h = parse_pdf_blocks(pdf)
+    expected = [(t, s, x, yt) for (t, s, x, yt) in items if _norm_ws(t)]
+    assert len(blocks) == len(expected)
+    for b, (t, s, x, yt) in zip(blocks, expected):
+        assert b.text == _norm_ws(t)
+        assert b.tag == _tag_for_size(s)
+        assert abs(b.x1 - x) < 1e-6
+        assert abs(b.y1 - yt) < 1e-6
+        assert not b.in_boiler
