@@ -40,6 +40,8 @@ HEADLINE = [
     "ann_lsh_multiband",
     "detection_map",
     "extract_pages",
+    "extract_pdf_pages",
+    "corpus_curation_pipeline",
 ]
 
 N_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000"))

@@ -807,11 +807,13 @@ def dedup_clusters(spark, sf_dir):
     components over the Jaccard>=threshold pair graph via iterative
     min-label propagation (pure DataFrame joins — the pattern that
     scales to billions of edges where a driver-side union-find cannot;
-    converges in O(log n) rounds on dedup-shaped graphs).  Output:
-    (doc_id, cluster_id = min doc_id of the component)."""
+    converges in O(log n) rounds on dedup-shaped graphs).  Edges come
+    from the LSH-candidate-restricted exact Jaccard (the scale path:
+    the all-pairs equi-join never runs), mirrored in the oracle.
+    Output: (doc_id, cluster_id = min doc_id of the component)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dedup_jaccard_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -854,20 +856,15 @@ def dedup_clusters(spark, sf_dir):
     return labels.select("doc_id", "cluster_id")
 
 
+# edges = the LSH-verified pair pipeline (same CTEs as JACCARD_LSH_SQL)
+_LSH_BODY = JACCARD_LSH_SQL.strip()
+assert _LSH_BODY.startswith("WITH ")
+_LSH_CTES, _LSH_FINAL = _LSH_BODY[5:].rsplit("SELECT doc_a, doc_b,", 1)
+
 CLUSTERS_SQL = f"""
-WITH RECURSIVE all_sh AS ({_SHINGLES_DUCK}),
-sh AS ({_CAPPED_SHINGLES_DUCK}),
-counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+WITH RECURSIVE {_LSH_CTES.rstrip()},
 pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN counts ca ON doc_a = ca.doc_id
-  JOIN counts cb ON doc_b = cb.doc_id
-  WHERE inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+  SELECT doc_a, doc_b,{_LSH_FINAL}
 ),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
