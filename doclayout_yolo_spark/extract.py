@@ -498,9 +498,17 @@ def extract_document(html: bytes | str) -> tuple[str, list[Region], dict]:
     byte-identity payload; spans carry offsets into it.  ``meta`` holds
     page geometry + counts for lineage.
     """
-    if isinstance(html, bytes) and html.startswith(b"%PDF-"):
+    is_pdf = (isinstance(html, bytes) and html.startswith(b"%PDF-")) or (
+        isinstance(html, str) and html.startswith("%PDF-")
+    )
+    if is_pdf:
         from .pdf import parse_pdf_blocks  # noqa: PLC0415
 
+        if isinstance(html, str):
+            # a PDF that arrived as text: latin-1 restores the raw
+            # bytes exactly when it was decoded that way; anything
+            # unmappable raises into the quarantine wrapper
+            html = html.encode("latin-1")
         blocks, page_w, page_h = parse_pdf_blocks(html)
         page_w, page_h = np.float32(page_w), np.float32(page_h)
     else:

@@ -80,6 +80,11 @@ MATCH_DDL = "doc string, det_id long, cls long, conf double, " + ", ".join(
 
 def _match_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
     doc = key[0]
+    # applyInPandas delivers rows in shuffle-arrival order, and the
+    # np.unique dedup in greedy_match is POSITIONAL — sort both sides
+    # by their id so tied-IoU outcomes are run-deterministic (and match
+    # the id-ordered golden-oracle generator)
+    pdf = pdf.sort_values("det_id")
     dets = pdf[pdf["side"] == "det"]
     gts = pdf[pdf["side"] == "gt"]
     boxes_d = dets[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float32)
@@ -112,8 +117,11 @@ def match_table(dets: DataFrame, gts: DataFrame) -> DataFrame:
         "doc", "det_id", "x1", "y1", "x2", "y2", "conf", "cls",
         F.lit("det").alias("side"),
     )
+    # the gt side reuses the det_id slot for ITS id so the kernel's
+    # det_id sort orders ground truth deterministically too (gt row
+    # order feeds the positional gt dedup)
     g = gts.select(
-        "doc", F.lit(-1).alias("det_id"), "x1", "y1", "x2", "y2",
+        "doc", F.col("gt_id").alias("det_id"), "x1", "y1", "x2", "y2",
         F.lit(0.0).alias("conf"), "cls", F.lit("gt").alias("side"),
     )
     both = d.unionByName(g)
@@ -202,15 +210,18 @@ def confusion_matrix(
     aggregation padded with zero cells so every (pred_cls, gt_cls)
     combination appears exactly once (nc = background row/col)."""
     d = dets.select(
-        "doc", "x1", "y1", "x2", "y2", "conf", "cls",
+        "doc", "det_id", "x1", "y1", "x2", "y2", "conf", "cls",
         F.lit("det").alias("side"),
     )
     g = gts.select(
-        "doc", "x1", "y1", "x2", "y2", F.lit(0.0).alias("conf"), "cls",
-        F.lit("gt").alias("side"),
+        "doc", "det_id", "x1", "y1", "x2", "y2",
+        F.lit(0.0).alias("conf"), "cls", F.lit("gt").alias("side"),
     )
 
     def _group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by id: the positional np.unique dedup must not depend on
+        # shuffle arrival order (ties in IoU exist in real data)
+        pdf = pdf.sort_values("det_id")
         dd = pdf[pdf["side"] == "det"]
         gg = pdf[pdf["side"] == "gt"]
         pairs = confusion_pairs(

@@ -185,7 +185,10 @@ def build_pdf(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w:g} {page_h:g}]"
             f" /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
         ).encode(),
-        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content) + 1, content),
+        # /Length counts ONLY the stream data; the EOL before
+        # 'endstream' is a separator the spec excludes (ISO 32000-1
+        # §7.3.8.2)
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
     out = bytearray(b"%PDF-1.4\n")

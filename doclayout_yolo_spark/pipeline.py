@@ -225,6 +225,47 @@ def _reconcile_orphans(spark: SparkSession, output_path: str) -> list[int]:
     return sorted(orphans)
 
 
+LINEAGE_DDL = (
+    "task_partition_id int, attempt_number int, "
+    "part_ids array<int>, n_docs long, "
+    "n_regions long, bytes_in long, t_start double, t_end double, "
+    "kernel_version string"
+)
+
+
+def _dedup_lineage(rows) -> list[dict]:
+    """Accumulator delivery is at-least-once under task retries /
+    speculation: keep exactly one row per task partition, last attempt
+    wins, so stats and the lineage table never double-count."""
+    best: dict[int, dict] = {}
+    for r in rows:
+        k = r["task_partition_id"]
+        cur = best.get(k)
+        if cur is None or (
+            (r["attempt_number"], r["task_attempt_id"])
+            > (cur["attempt_number"], cur["task_attempt_id"])
+        ):
+            best[k] = r
+    return [best[k] for k in sorted(best)]
+
+
+def _write_lineage(spark: SparkSession, lineage_rows: list[dict], output_path: str) -> None:
+    if not lineage_rows:
+        return
+    spark.createDataFrame(
+        [
+            (
+                r["task_partition_id"], r["attempt_number"],
+                r["part_ids"], r["n_docs"],
+                r["n_regions"], r["bytes_in"], float(r["t_start"]),
+                float(r["t_end"]), r["kernel_version"],
+            )
+            for r in lineage_rows
+        ],
+        schema=LINEAGE_DDL,
+    ).write.mode("append").parquet(_lineage_path(output_path))
+
+
 def run_extraction_job(
     spark: SparkSession,
     pages: DataFrame,
@@ -264,40 +305,11 @@ def run_extraction_job(
     wall = time.time() - t0
 
     # lineage + manifest (post-write: in Iceberg these rows join the
-    # same atomic snapshot commit as the data files).  Accumulator
-    # delivery is at-least-once under task retries, so dedup to exactly
-    # one row per task partition, last attempt wins — stats and the
-    # lineage table never double-count a retried task.
-    best: dict[int, dict] = {}
-    for r in lineage_acc.value:
-        k = r["task_partition_id"]
-        cur = best.get(k)
-        if cur is None or (
-            (r["attempt_number"], r["task_attempt_id"])
-            > (cur["attempt_number"], cur["task_attempt_id"])
-        ):
-            best[k] = r
-    lineage_rows = [best[k] for k in sorted(best)]
+    # same atomic snapshot commit as the data files)
+    lineage_rows = _dedup_lineage(lineage_acc.value)
     n_docs = sum(r["n_docs"] for r in lineage_rows)
     processed = sorted({p for r in lineage_rows for p in r["part_ids"]})
-    if lineage_rows:
-        spark.createDataFrame(
-            [
-                (
-                    r["task_partition_id"], r["attempt_number"],
-                    r["part_ids"], r["n_docs"],
-                    r["n_regions"], r["bytes_in"], float(r["t_start"]),
-                    float(r["t_end"]), r["kernel_version"],
-                )
-                for r in lineage_rows
-            ],
-            schema=(
-                "task_partition_id int, attempt_number int, "
-                "part_ids array<int>, n_docs long, "
-                "n_regions long, bytes_in long, t_start double, t_end double, "
-                "kernel_version string"
-            ),
-        ).write.mode("append").parquet(_lineage_path(output_path))
+    _write_lineage(spark, lineage_rows, output_path)
     if processed:
         spark.createDataFrame(
             [(p, KERNEL_VERSION) for p in processed],
@@ -370,7 +382,9 @@ def reprocess_stale_buckets(
         .partitionBy("part_id")
         .parquet(data_path(output_path))
     )
-    n_docs = sum(r["n_docs"] for r in lineage_acc.value)
+    lineage_rows = _dedup_lineage(lineage_acc.value)
+    n_docs = sum(r["n_docs"] for r in lineage_rows)
+    _write_lineage(spark, lineage_rows, output_path)
     spark.createDataFrame(
         [(p, KERNEL_VERSION) for p in stale],
         schema="part_id int, kernel_version string",

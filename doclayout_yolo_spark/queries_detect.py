@@ -421,12 +421,17 @@ def _pdf_pages_from_documents(spark, sf_dir):
         for pdf in batches:
             urls, htmls = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # PDF literal strings are byte strings: project text to
+                # latin-1 (unmappable -> '?') so a single exotic char
+                # can never kill the synthesis task; mirrored in the
+                # oracle's closed form
+                safe = str(text).encode("latin-1", "replace").decode("latin-1")
                 urls.append(f"https://testdata.local/pdf/{int(doc_id)}.pdf")
                 htmls.append(
                     build_pdf(
                         [
                             (f"Doc {int(doc_id)}", 24.0, 60.0, 80.0),
-                            (str(text), 12.0, 60.0, 150.0),
+                            (safe, 12.0, 60.0, 150.0),
                             ("copyright example", 9.0, 60.0, 760.0),
                         ]
                     )
@@ -447,9 +452,10 @@ def extract_pdf_pages(spark, sf_dir):
     return out.select("url", "extracted_text", "n_regions", "n_blocks")
 
 
-PDF_FLAGSHIP_SQL = """
+PDF_FLAGSHIP_SQL = r"""
 SELECT 'https://testdata.local/pdf/' || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
-       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || text AS extracted_text,
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+         regexp_replace(text, '[^\x00-\xff]', '?', 'g') AS extracted_text,
        CAST(2 AS INT) AS n_regions,
        CAST(3 AS INT) AS n_blocks
 FROM documents

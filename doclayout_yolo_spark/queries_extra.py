@@ -346,8 +346,8 @@ def max_f1_smoothed(spark, sf_dir):
     )
 
 
-MAX_F1_SQL = """
-WITH grid AS (SELECT CAST((i + 1) * 5.0 AS DOUBLE) AS thr FROM range(19) g(i)),
+_F1_GRID_SQL = f"""
+grid AS (SELECT CAST((i + 1) * 5.0 AS DOUBLE) AS thr FROM range({GRID_N}) g(i)),
 per_type AS (
   SELECT event_type, COUNT(*) AS n_total, MAX(value) AS vmax FROM events GROUP BY 1
 ),
@@ -363,29 +363,14 @@ scored AS (
                / ((n_above / CAST(n_total AS DOUBLE)) + (thr / vmax)), 6) AS f1
   FROM joined j JOIN per_type p ON j.event_type = p.event_type
 )
+"""
+
+MAX_F1_SQL = f"""
+WITH {_F1_GRID_SQL}
 SELECT event_type, thr, f1 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY f1 DESC, thr ASC) AS rn
   FROM scored
 ) WHERE rn = 1
-"""
-
-_F1_GRID_SQL = """
-grid AS (SELECT CAST((i + 1) * 5.0 AS DOUBLE) AS thr FROM range(19) g(i)),
-per_type AS (
-  SELECT event_type, COUNT(*) AS n_total, MAX(value) AS vmax FROM events GROUP BY 1
-),
-joined AS (
-  SELECT e.event_type, g.thr,
-         SUM(CASE WHEN e.value >= g.thr THEN 1 ELSE 0 END) AS n_above
-  FROM events e CROSS JOIN grid g
-  GROUP BY 1, 2
-),
-scored AS (
-  SELECT j.event_type, j.thr,
-         ROUND(2.0 * (n_above / CAST(n_total AS DOUBLE)) * (thr / vmax)
-               / ((n_above / CAST(n_total AS DOUBLE)) + (thr / vmax)), 6) AS f1
-  FROM joined j JOIN per_type p ON j.event_type = p.event_type
-)
 """
 
 MAX_F1_SMOOTH_SQL = f"""

@@ -642,9 +642,10 @@ SIM_BANDS = ((0, 11), (11, 11), (22, 10))  # (shift, width): cover 32 bits
 
 def simhash_hamming_pairs(spark, sf_dir):
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= 2, found
-    WITHOUT an all-pairs join: pigeonhole banding — 16 bits split into
-    3 bands, so any pair within distance 2 must agree exactly on at
-    least one band (2 flipped bits can spoil at most 2 bands).
+    WITHOUT an all-pairs join: pigeonhole banding — the 32-bit
+    signature split into 3 bands (11/11/10 bits), so any pair within
+    distance 2 must agree exactly on at least one band (2 flipped bits
+    can spoil at most 2 bands).
     Candidates share a band bucket; the xor bit_count verifies.
     Uses a 32-bit signature: at 16 bits a 500-doc random corpus already
     collides heavily within distance 2 (the query stays correct but the

@@ -171,10 +171,28 @@ FRAME_STRIDE = 4  # sample every 4th frame
 RESIZE_STRIDE = 4  # keep every 4th byte
 
 
-def multimodal_frame_sample(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+def _ascii_payload(spark, sf_dir):
+    """Synthetic opaque-binary payload: the document text projected to
+    ASCII (non-ASCII -> '?') then UTF-8 encoded.  The projection makes
+    byte offsets == character offsets BY CONSTRUCTION, so the
+    byte-true Spark kernels and DuckDB's character functions agree for
+    ANY input text — without it, one multi-byte character silently
+    desyncs chunk boundaries between the engines (DuckDB v1.0 has no
+    BLOB substring/md5 to express the byte view directly)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.encode(
+            F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "?"), "utf-8"
+        ).alias("payload"),
     )
+
+
+_ASCII_DUCK = r"regexp_replace(text, '[^\x00-\x7f]', '?', 'g')"
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    d = _ascii_payload(spark, sf_dir)
 
     def kernel(batches):
         import hashlib  # noqa: PLC0415
@@ -202,6 +220,7 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 FRAME_SAMPLE_SQL = f"""
+WITH ascii_docs AS (SELECT doc_id, {_ASCII_DUCK} AS text FROM documents)
 SELECT doc_id,
        CAST(CEIL(LENGTH(text) / {CHUNK}.0) AS BIGINT) AS n_frames,
        CAST(CEIL(CEIL(LENGTH(text) / {CHUNK}.0) / {FRAME_STRIDE}.0) AS BIGINT) AS n_sampled,
@@ -209,14 +228,12 @@ SELECT doc_id,
          [substr(text, i * {CHUNK * FRAME_STRIDE} + 1, {CHUNK})
           FOR i IN RANGE(0, CAST(CEIL(CEIL(LENGTH(text) / {CHUNK}.0) / {FRAME_STRIDE}.0) AS BIGINT))],
          '')) AS sample_md5
-FROM documents
+FROM ascii_docs
 """
 
 
 def multimodal_resize_stub(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    d = _ascii_payload(spark, sf_dir)
 
     def kernel(batches):
         import hashlib  # noqa: PLC0415
@@ -241,6 +258,7 @@ def multimodal_resize_stub(spark, sf_dir):
 
 
 RESIZE_SQL = f"""
+WITH ascii_docs AS (SELECT doc_id, {_ASCII_DUCK} AS text FROM documents)
 SELECT doc_id,
        CAST(LENGTH(text) AS BIGINT) AS n_bytes_in,
        CAST(CEIL(LENGTH(text) / {RESIZE_STRIDE}.0) AS BIGINT) AS n_bytes_out,
@@ -248,7 +266,7 @@ SELECT doc_id,
          [substr(text, i * {RESIZE_STRIDE} + 1, 1)
           FOR i IN RANGE(0, CAST(CEIL(LENGTH(text) / {RESIZE_STRIDE}.0) AS BIGINT))],
          '')) AS resized_md5
-FROM documents
+FROM ascii_docs
 """
 
 

@@ -103,6 +103,12 @@ def stateful_host_counter(
         import pandas as pd  # noqa: PLC0415
 
         host = key[0]
+        if state.hasTimedOut:
+            # politeness horizon passed with no new pages: evict the
+            # counter so state stays bounded by ACTIVE hosts
+            state.remove()
+            yield pd.DataFrame({"host": [], "n_pages": [], "total_bytes": []})
+            return
         n, b = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
@@ -140,6 +146,13 @@ def stateful_url_dedup(pages_stream: DataFrame, timeout_s: int = 24 * 3600):
         import pandas as pd  # noqa: PLC0415
 
         url = key[0]
+        if state.hasTimedOut:
+            # re-crawl horizon passed: drop the seen-flag so the state
+            # store is bounded by the horizon, not the corpus — a url
+            # re-fetched later is emitted again (a fresh crawl)
+            state.remove()
+            yield pd.DataFrame({"url": [], "html_bytes": []})
+            return
         n_dups = state.get[0] if state.exists else -1
         first_bytes = 0
         n_new = 0

@@ -77,3 +77,34 @@ def test_oracle_value_match(spark, name):
     dset = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
     assert scols == sorted(dcols_full), name
     assert sset == dset, name
+
+
+def test_multimodal_parity_on_non_ascii_text(spark, tmp_path_factory):
+    # regression: byte-true Spark kernels vs character-based DuckDB
+    # oracles must agree even when text contains multi-byte characters
+    # (the ASCII projection makes offsets equal by construction)
+    import duckdb
+
+    from doclayout_yolo_spark.queries_vector import (
+        FRAME_SAMPLE_SQL,
+        RESIZE_SQL,
+        multimodal_frame_sample,
+        multimodal_resize_stub,
+    )
+
+    d = str(tmp_path_factory.mktemp("nonascii"))
+    spark.createDataFrame(
+        [(1, "héllo wörld " * 40 + "é€nd"), (2, "plain ascii " * 30)],
+        schema="doc_id long, text string",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{d}/documents.parquet/*.parquet')"
+    )
+    for fn, sql in (
+        (multimodal_frame_sample, FRAME_SAMPLE_SQL),
+        (multimodal_resize_stub, RESIZE_SQL),
+    ):
+        got = {tuple(r) for r in fn(spark, d).collect()}
+        want = {tuple(r) for r in con.execute(sql).fetchall()}
+        assert got == want, (fn.__name__, got ^ want)
