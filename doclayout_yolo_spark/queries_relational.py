@@ -513,7 +513,21 @@ WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 5 AND 20)
 """
 
 
+# --- the spark.sql surface: one ANSI SQL text, two engines -------------------
+
+def sql_api_region_revenue(spark, sf_dir):
+    """Runs the DuckDB oracle's EXACT SQL text through spark.sql() over
+    registered temp views — demonstrating that the money-parity
+    conventions (decimal-first factor casts, ROUND) keep the query in
+    the ANSI-portable subset: one string, two engines, identical value
+    hashes."""
+    for t in ("region", "nation", "customer", "supplier", "orders", "lineitem"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(Q5_SQL)
+
+
 RELATIONAL_QUERIES = {
+    "sql_api_region_revenue": (sql_api_region_revenue, Q5_SQL),
     "small_quantity_revenue": (small_quantity_revenue, Q17_SQL),
     "returned_item_revenue": (returned_item_revenue, Q10_SQL),
     "disjunctive_revenue": (disjunctive_revenue, Q19_SQL),
