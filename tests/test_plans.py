@@ -138,3 +138,27 @@ def test_bucketed_tables_join_without_shuffle(spark):
     assert sum(r["count"] for r in n) == li.count()
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_output_table_partition_pruning(spark, tmp_path_factory):
+    # the extracted table is partitioned by part_id (the Iceberg bucket
+    # transform analog): a bucket-filtered read must prune partitions
+    # at the scan, not filter rows post-hoc
+    from doclayout_yolo_spark.fixtures import generate_pages_df
+    from doclayout_yolo_spark.pipeline import read_extracted, run_extraction_job
+
+    out = str(tmp_path_factory.mktemp("prune") / "o")
+    pages = generate_pages_df(spark, 40, partitions=4)
+    run_extraction_job(spark, pages, out, n_buckets=8)
+    from pyspark.sql import functions as F
+
+    df = read_extracted(spark, out).filter(F.col("part_id") == 3)
+    plan = plan_of(df)
+    assert "PartitionFilters: [isnotnull(part_id" in plan.replace("#", "").replace(
+        ")", ""
+    ) or "PartitionFilters: [isnotnull(part_id" in plan
+    # the predicate must appear in PartitionFilters (pruning), and the
+    # scan must not carry it as a data filter
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "part_id" in pf
+    assert df.count() == spark.read.parquet(f"{out}/data/part_id=3").count()
