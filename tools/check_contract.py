@@ -19,7 +19,14 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
+# golden-snapshot oracles are generated for sf0.01 inputs only
+GOLDEN_ONLY_AT_001 = {
+    "det_grouped_postprocess", "detection_map", "det_confusion_matrix",
+    "refine_region_scores",
+}
 
 
 def normalize(v):
@@ -52,6 +59,9 @@ def main(only: list[str]) -> int:
     failures = []
     for name, (fn, sql) in ALL_QUERIES.items():
         if only and name not in only:
+            continue
+        if name in GOLDEN_ONLY_AT_001 and not SF_DIR.endswith("sf0.01"):
+            print(f"[skip] {name}: golden oracle is sf0.01-only")
             continue
         try:
             sdf = fn(spark, SF_DIR)
