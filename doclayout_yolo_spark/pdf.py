@@ -1,51 +1,78 @@
 """Minimal-PDF layout parse: the north rule's "PDF/layout parse" leg.
 
-A real (not stubbed) parser for uncompressed text PDFs: it walks the
-content streams, interprets the text-object operators the PDF spec
-defines (``BT``/``ET`` text objects, ``Tf`` font selection, ``Tm``/
-``Td`` positioning, ``Tj`` text showing — ISO 32000-1 §9.4), and emits
-the same :class:`~doclayout_yolo_spark.extract.Block` list the HTML
-parser produces — so the whole downstream pipeline (proposal detector,
-NMS, reading-order sort, span extraction) is SHARED between HTML and
-PDF inputs, and byte-identity with the single-process oracle holds by
-construction for both.
+A real (not stubbed) parser for text PDFs: it walks the page content
+streams (inflating ``FlateDecode``-compressed ones with stdlib zlib),
+interprets the text-object operators the PDF spec defines —
+``BT``/``ET`` text objects, ``Tf`` font selection, ``Tm``/``Td``/
+``TD`` positioning, ``TL``/``T*`` leading and next-line, ``Tc``/``Tw``
+spacing, ``Tj``/``'``/``TJ`` text showing (ISO 32000-1 §9.4) — and
+emits the same :class:`~doclayout_yolo_spark.extract.Block` list the
+HTML parser produces, so the whole downstream pipeline (proposal
+detector, NMS, reading-order sort, span extraction) is SHARED between
+HTML and PDF inputs and byte-identity with the single-process oracle
+holds by construction for both.
 
 Unlike the HTML path (which must simulate layout), PDF carries real
 coordinates: block geometry comes from the text matrix, converted from
 PDF's bottom-left origin to the pipeline's top-left convention.
-Compressed streams (FlateDecode) are out of scope in this sandbox —
-documents using them yield zero blocks rather than an error (the
-quarantine wrapper records them), which is the honest behavior for a
-decoder feature that is not linked in.
+Multi-page documents are laid out as a continuous scroll (page k's
+blocks offset by ``k * page_h``), mirroring how the HTML path treats a
+long page; header/footer boilerplate strips apply per physical page.
 
-Also provides :func:`build_pdf` — a deterministic writer for
-structurally valid single-page PDFs (correct xref offsets) used by
-fixtures and tests; parser and writer are intentionally independent
-renderings of the spec (writer composes objects, parser tokenizes
-operators) so tests are not self-certifying string reversals.
+``TJ`` array elements follow the standard extraction convention: the
+strings are concatenated in order, and a kerning adjustment of
+``-TJ_SPACE_KERN`` thousandths or beyond (the magnitude real writers
+use for inter-word gaps) reads as a space.  Streams whose filter we
+cannot decode (or whose flate data is corrupt) contribute zero blocks
+rather than an error — the quarantine wrapper records them.
+
+Also provides :func:`build_pdf` / :func:`build_pdf_pages` — a
+deterministic writer for structurally valid PDFs (correct xref
+offsets, optional FlateDecode compression, selectable show-operator
+style) used by fixtures and tests; parser and writer are intentionally
+independent renderings of the spec (writer composes objects, parser
+resolves the page tree and tokenizes operators) so tests are not
+self-certifying string reversals.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 
 from .extract import Block, _norm_ws
 
 PDF_MAGIC = b"%PDF-"
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+# stream object = dict immediately followed by the stream keyword;
+# content-stream dicts are flat (/Length, /Filter) so a non-greedy
+# dict match is safe
+_STREAMOBJ_RE = re.compile(
+    rb"<<(?P<dict>.*?)>>\s*stream\r?\n(?P<body>.*?)endstream", re.S
+)
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
 _BT_RE = re.compile(rb"BT(.*?)ET", re.S)
-# operators inside a text object we interpret
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
+_PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_FLATE_RE = re.compile(rb"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])")
+
+# operators inside a text object we interpret (ISO 32000-1 §9.4.2-9.4.3)
 _TOKEN_RE = re.compile(
     rb"/(?P<font>\w+)\s+(?P<size>[\d.]+)\s+Tf"
     rb"|(?P<a>[-\d.]+)\s+(?P<b>[-\d.]+)\s+(?P<c>[-\d.]+)\s+(?P<d>[-\d.]+)\s+"
     rb"(?P<e>[-\d.]+)\s+(?P<f>[-\d.]+)\s+Tm"
-    rb"|(?P<tx>[-\d.]+)\s+(?P<ty>[-\d.]+)\s+Td"
-    rb"|\((?P<text>(?:\\.|[^\\()])*)\)\s*Tj"
+    rb"|(?P<tx>[-\d.]+)\s+(?P<ty>[-\d.]+)\s+(?P<tdop>Td|TD)"
+    rb"|(?P<tl>[-\d.]+)\s+TL"
+    rb"|(?P<tc>[-\d.]+)\s+Tc"
+    rb"|(?P<tw>[-\d.]+)\s+Tw"
+    rb"|(?P<tstar>T\*)"
+    rb"|\((?P<text>(?:\\.|[^\\()])*)\)\s*(?P<showop>Tj|')"
+    rb"|\[(?P<tjarr>(?:\((?:\\.|[^\\()])*\)|[-\d.]+|\s+)*)\]\s*TJ"
 )
+_TJ_ITEM_RE = re.compile(rb"\((?P<s>(?:\\.|[^\\()])*)\)|(?P<n>[-\d.]+)")
 
 _UNESCAPE = {
     b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t",
@@ -58,6 +85,7 @@ CHAR_W = 0.5       # average glyph advance as a fraction of font size
 LINE_H = 1.2       # line box height as a fraction of font size
 FOOTER_STRIP = 60.0  # bottom strip treated as boilerplate zone
 HEADER_STRIP = 40.0
+TJ_SPACE_KERN = 180.0  # |kern| (thousandths) at/above which TJ reads a space
 
 
 def _unescape(raw: bytes) -> str:
@@ -84,16 +112,66 @@ def _tag_for_size(size: float) -> str:
     return "p"
 
 
-def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
-    """PDF bytes -> (blocks, page_w, page_h) in top-left coordinates.
+def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes | None:
+    """Stream dict + raw body -> decoded body, or None when the body
+    is not decodable (unsupported filter chain, corrupt flate data)."""
+    if _FLATE_RE.search(dict_bytes):
+        try:
+            return zlib.decompress(body)
+        except zlib.error:
+            return None
+    if b"/Filter" in dict_bytes:
+        return None  # some other filter we don't implement
+    return body
 
-    One Block per BT..ET text object (its Tj strings joined in stream
-    order).  Geometry: position from the last Tm/Td before the first
-    Tj; width from a deterministic glyph-advance model
-    (CHAR_W * size * n_chars, clamped to the page); height from the
-    line model.  Boilerplate: text objects positioned in the header /
-    footer strips are flagged ``in_boiler`` so the shared detector
-    scores them down exactly like HTML <nav>/<footer> content.
+
+def _content_streams(raw: bytes) -> list[bytes]:
+    """Decoded content-stream bodies in page order.
+
+    Resolves the page tree: each ``/Type /Page`` object's ``/Contents``
+    reference, in document order, maps to one entry.  Falls back to
+    every decodable stream in file order when no page objects resolve
+    (fragmentary fixtures, damaged xref)."""
+    streams_by_obj: dict[int, bytes | None] = {}
+    page_content_objs: list[int] = []
+    for m in _OBJ_RE.finditer(raw):
+        num, body = int(m.group(1)), m.group(2)
+        sm = _STREAMOBJ_RE.search(body)
+        if sm is not None:
+            streams_by_obj[num] = _decode_stream(sm.group("dict"), sm.group("body"))
+        elif _PAGE_TYPE_RE.search(body):
+            cm = _CONTENTS_RE.search(body)
+            if cm is not None:
+                page_content_objs.append(int(cm.group(1)))
+    if page_content_objs and all(n in streams_by_obj for n in page_content_objs):
+        return [
+            streams_by_obj[n]
+            for n in page_content_objs
+            if streams_by_obj[n] is not None
+        ]
+    # fallback: every stream in the file, one logical page
+    out = []
+    for sm in _STREAMOBJ_RE.finditer(raw):
+        body = _decode_stream(sm.group("dict"), sm.group("body"))
+        if body is not None:
+            out.append(body)
+    return out
+
+
+def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
+    """PDF bytes -> (blocks, page_w, total_h) in top-left coordinates.
+
+    One Block per BT..ET text object (its shown strings joined in
+    stream order; ``T*``/``'`` line breaks and large ``TJ`` kerns read
+    as spaces).  Geometry: position from the text-matrix state at the
+    first shown string; width from a deterministic glyph-advance model
+    (``(CHAR_W * size + Tc) * n_chars + Tw * n_spaces``, clamped to the
+    page); height spans from the first to the last shown line.
+    Multi-page documents stack pages as a continuous scroll, so
+    ``total_h = n_pages * page_h``.  Boilerplate: text positioned in a
+    physical page's header / footer strips is flagged ``in_boiler`` so
+    the shared detector scores it down exactly like HTML <nav>/<footer>
+    content.
     """
     m = _MEDIABOX_RE.search(raw)
     if m:
@@ -101,36 +179,74 @@ def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
         page_w, page_h = x1 - x0, y1 - y0
     else:
         page_w, page_h = DEFAULT_PAGE_W, DEFAULT_PAGE_H
+    streams = _content_streams(raw)
     blocks: list[Block] = []
-    for stream in _STREAM_RE.finditer(raw):
-        body = stream.group(1)
+    for page_i, body in enumerate(streams):
+        y_off = page_i * page_h
         for bt in _BT_RE.finditer(body):
             size = 12.0
             x, y = 0.0, 0.0
+            leading = 0.0
+            char_sp, word_sp = 0.0, 0.0
             parts: list[str] = []
             first_pos: tuple[float, float] | None = None
+            last_y = 0.0
             first_size = size
+            first_char_sp, first_word_sp = 0.0, 0.0
             for tok in _TOKEN_RE.finditer(bt.group(1)):
                 if tok.group("font") is not None:
                     size = float(tok.group("size"))
                 elif tok.group("a") is not None:
                     x, y = float(tok.group("e")), float(tok.group("f"))
                 elif tok.group("tx") is not None:
-                    x += float(tok.group("tx"))
-                    y += float(tok.group("ty"))
+                    tx, ty = float(tok.group("tx")), float(tok.group("ty"))
+                    if tok.group("tdop") == b"TD":  # §9.4.2: TD sets TL=-ty
+                        leading = -ty
+                    x += tx
+                    y += ty
+                elif tok.group("tl") is not None:
+                    leading = float(tok.group("tl"))
+                elif tok.group("tc") is not None:
+                    char_sp = float(tok.group("tc"))
+                elif tok.group("tw") is not None:
+                    word_sp = float(tok.group("tw"))
+                elif tok.group("tstar") is not None:
+                    y -= leading
                 elif tok.group("text") is not None:
+                    if tok.group("showop") == b"'":  # ' = T* then show
+                        y -= leading
                     if first_pos is None:
                         first_pos = (x, y)
                         first_size = size
+                        first_char_sp, first_word_sp = char_sp, word_sp
+                    last_y = y
                     parts.append(_unescape(tok.group("text")))
+                elif tok.group("tjarr") is not None:
+                    if first_pos is None:
+                        first_pos = (x, y)
+                        first_size = size
+                        first_char_sp, first_word_sp = char_sp, word_sp
+                    last_y = y
+                    segs: list[str] = []
+                    for item in _TJ_ITEM_RE.finditer(tok.group("tjarr")):
+                        if item.group("s") is not None:
+                            segs.append(_unescape(item.group("s")))
+                        elif float(item.group("n")) <= -TJ_SPACE_KERN:
+                            segs.append(" ")
+                    parts.append("".join(segs))
             text = _norm_ws(" ".join(parts))
             if not text or first_pos is None:
                 continue
             px, py = first_pos
             y_top = page_h - py - first_size  # baseline -> box top
-            width = min(CHAR_W * first_size * len(text), page_w - px)
+            width = min(
+                (CHAR_W * first_size + first_char_sp) * len(text)
+                + first_word_sp * text.count(" "),
+                page_w - px,
+            )
+            height = (py - last_y) + first_size * LINE_H
             in_boiler = (
-                y_top + first_size * LINE_H >= page_h - FOOTER_STRIP
+                y_top + height >= page_h - FOOTER_STRIP
                 or y_top <= HEADER_STRIP
             )
             blocks.append(
@@ -144,12 +260,12 @@ def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
                     total_chars=len(text),
                     in_boiler=in_boiler,
                     x1=float(px),
-                    y1=float(y_top),
+                    y1=float(y_top + y_off),
                     x2=float(px + width),
-                    y2=float(y_top + first_size * LINE_H),
+                    y2=float(y_top + y_off + height),
                 )
             )
-    return blocks, page_w, page_h
+    return blocks, page_w, page_h * max(1, len(streams))
 
 
 # ---------------------------------------------------------------------------
@@ -161,36 +277,69 @@ def _escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def build_pdf(
-    texts: list[tuple[str, float, float, float]],
+def _show_ops(text: str, size: float, x: float, y_pdf: float, style: str) -> str:
+    """One text object. style: 'Tj' = single literal string; 'TJ' =
+    word-per-segment array with -250 inter-word kerns (how real
+    writers express justified text); 'Tstar' = word-per-line via
+    TL/T* (all words share one block, joined by the parser)."""
+    head = f"BT /F1 {size:g} Tf 1 0 0 1 {x:g} {y_pdf:g} Tm"
+    if style == "TJ":
+        arr = " -250 ".join(f"({_escape(w)})" for w in text.split(" "))
+        return f"{head} [{arr}] TJ ET"
+    if style == "Tstar":
+        words = text.split(" ")
+        body = f" ({_escape(words[0])}) Tj"
+        for w in words[1:]:
+            body += f" T* ({_escape(w)}) Tj"
+        # tiny leading keeps multi-word blocks inside their strip
+        return f"{head} 0.01 TL{body} ET"
+    return f"{head} ({_escape(text)}) Tj ET"
+
+
+def build_pdf_pages(
+    pages: list[list[tuple[str, float, float, float]]],
     page_w: float = DEFAULT_PAGE_W,
     page_h: float = DEFAULT_PAGE_H,
+    compress: bool = False,
+    style: str = "Tj",
 ) -> bytes:
-    """texts: [(string, font_size, x, y_top), ...] -> valid one-page
-    PDF bytes (uncompressed content stream, correct xref table).
-    ``y_top`` is top-left-origin; converted to the PDF baseline here so
-    the parser's inverse conversion round-trips."""
-    ops = []
-    for text, size, x, y_top in texts:
-        y_pdf = page_h - y_top - size
-        ops.append(
-            f"BT /F1 {size:g} Tf 1 0 0 1 {x:g} {y_pdf:g} Tm"
-            f" ({_escape(text)}) Tj ET"
-        )
-    content = "\n".join(ops).encode("latin-1")
-    objs = [
+    """pages: one list of (string, font_size, x, y_top) per page ->
+    valid PDF bytes with a real page tree, per-page content streams
+    (FlateDecode-compressed when ``compress``), and a correct xref
+    table.  ``y_top`` is top-left-origin; converted to the PDF baseline
+    here so the parser's inverse conversion round-trips."""
+    n = len(pages)
+    # obj numbering: 1 catalog, 2 pages, 3 font, then (page, content)*
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
+    objs: list[bytes] = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
-        f"<< /Type /Pages /Kids [3 0 R] /Count 1 >>".encode(),
-        (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w:g} {page_h:g}]"
-            f" /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
-        ).encode(),
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    for i, texts in enumerate(pages):
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w:g} {page_h:g}]"
+                f" /Contents {5 + 2 * i} 0 R"
+                f" /Resources << /Font << /F1 3 0 R >> >> >>"
+            ).encode()
+        )
+        ops = [
+            _show_ops(text, size, x, page_h - y_top - size, style)
+            for text, size, x, y_top in texts
+        ]
+        content = "\n".join(ops).encode("latin-1")
+        if compress:
+            data = zlib.compress(content, 6)
+            filt = b" /Filter /FlateDecode"
+        else:
+            data, filt = content, b""
         # /Length counts ONLY the stream data; the EOL before
         # 'endstream' is a separator the spec excludes (ISO 32000-1
         # §7.3.8.2)
-        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
-    ]
+        objs.append(
+            b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(data), filt, data)
+        )
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, body in enumerate(objs, start=1):
@@ -206,3 +355,14 @@ def build_pdf(
         % (len(objs) + 1, xref_at)
     )
     return bytes(out)
+
+
+def build_pdf(
+    texts: list[tuple[str, float, float, float]],
+    page_w: float = DEFAULT_PAGE_W,
+    page_h: float = DEFAULT_PAGE_H,
+    compress: bool = False,
+    style: str = "Tj",
+) -> bytes:
+    """Single-page convenience wrapper over :func:`build_pdf_pages`."""
+    return build_pdf_pages([texts], page_w, page_h, compress, style)

@@ -407,10 +407,12 @@ def refine_region_scores(spark, sf_dir):
     return refine_regions(out)
 
 
-def _pdf_pages_from_documents(spark, sf_dir):
+def _pdf_pages_from_documents(spark, sf_dir, compress=False, style="Tj"):
     """Wrap documents rows into minimal single-page PDFs (title at
     24pt, body at 12pt, footer in the boilerplate strip) — the PDF
-    twin of ``_pages_from_documents``."""
+    twin of ``_pages_from_documents``.  ``compress``/``style`` select
+    FlateDecode streams and the show-operator family (Tj literal vs
+    kerned TJ arrays); all variants extract identical text."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
 
     def kernel(batches):
@@ -433,7 +435,9 @@ def _pdf_pages_from_documents(spark, sf_dir):
                             (f"Doc {int(doc_id)}", 24.0, 60.0, 80.0),
                             (safe, 12.0, 60.0, 150.0),
                             ("copyright example", 9.0, 60.0, 760.0),
-                        ]
+                        ],
+                        compress=compress,
+                        style=style,
                     )
                 )
             yield pd.DataFrame({"url": urls, "html": htmls})
@@ -448,6 +452,18 @@ def extract_pdf_pages(spark, sf_dir):
     for this controlled shape: title block 'Doc <id>' + body text,
     footer stripped as boilerplate."""
     pages = _pdf_pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages, n_buckets=64)
+    return out.select("url", "extracted_text", "n_regions", "n_blocks")
+
+
+def extract_pdf_pages_compressed(spark, sf_dir):
+    """FlateDecode twin of ``extract_pdf_pages``: pages are written
+    with zlib-compressed content streams AND kerned ``TJ`` show arrays
+    (the shape every real-world PDF writer emits — reference handles
+    real documents via PyMuPDF, mesh-candidate_bestfit/rendering.py:14-54).
+    Extracted text must be byte-identical to the uncompressed twin, so
+    the oracle closed form is shared."""
+    pages = _pdf_pages_from_documents(spark, sf_dir, compress=True, style="TJ")
     out = extract_pages(pages, n_buckets=64)
     return out.select("url", "extracted_text", "n_regions", "n_blocks")
 
@@ -619,6 +635,7 @@ DETECT_QUERIES = {
     "extract_pages": (extract_pages_flagship, FLAGSHIP_SQL),
     "corpus_curation_pipeline": (corpus_curation_pipeline, CURATION_SQL),
     "extract_pdf_pages": (extract_pdf_pages, PDF_FLAGSHIP_SQL),
+    "extract_pdf_pages_compressed": (extract_pdf_pages_compressed, PDF_FLAGSHIP_SQL),
     "extract_region_rows": (extract_region_rows, REGION_ROWS_SQL),
     "detection_map": (detection_map, _golden_sql("detection_map")),
     "det_confusion_matrix": (

@@ -48,16 +48,108 @@ def test_pdf_geometry_from_mediabox():
     assert blocks[0].y1 == pytest.approx(20.0)
 
 
-def test_compressed_stream_yields_no_blocks_not_crash():
-    # FlateDecode is not linked in this sandbox: binary stream bodies
-    # must parse to zero text blocks, never raise
-    junk = zlib.compress(b"BT (hidden) Tj ET")
+_DEMO = [
+    ("Big Title", 24.0, 60.0, 80.0),
+    ("Body paragraph with enough words to be believable.", 12.0, 60.0, 150.0),
+    ("copyright footer", 9.0, 60.0, 760.0),
+]
+
+
+def test_flate_compressed_equals_uncompressed():
+    # FlateDecode streams (what every real-world PDF writer emits)
+    # must extract byte-identically to the plain-text twin
+    plain = extract_document(build_pdf(_DEMO))
+    comp = extract_document(build_pdf(_DEMO, compress=True))
+    assert comp == plain
+    assert plain[0].startswith("Big Title")
+
+
+def test_corrupt_flate_stream_yields_no_blocks_not_crash():
+    junk = zlib.compress(b"BT (hidden) Tj ET")[:-4] + b"\x00\x00\x00\x00"
     raw = (
         b"%%PDF-1.4\n1 0 obj\n<< /Length %d /Filter /FlateDecode >>\n"
         b"stream\n%s\nendstream\nendobj\n" % (len(junk), junk)
     )
     text, regions, meta = extract_document(raw)
     assert text == "" and regions == []
+
+
+def test_unknown_filter_yields_no_blocks_not_crash():
+    raw = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Length 20 /Filter /DCTDecode >>\n"
+        b"stream\nBT (hidden) Tj ET\nendstream\nendobj\n"
+    )
+    text, regions, meta = extract_document(raw)
+    assert text == "" and regions == []
+
+
+@pytest.mark.parametrize("style", ["TJ", "Tstar"])
+@pytest.mark.parametrize("compress", [False, True])
+def test_show_operator_styles_equal_plain(style, compress):
+    # word-per-segment TJ arrays (kerned) and TL/T* line advances must
+    # extract the same text as one literal Tj string
+    plain = extract_document(build_pdf(_DEMO))
+    other = extract_document(build_pdf(_DEMO, compress=compress, style=style))
+    assert other[0] == plain[0]
+    assert [r.text for r in other[1]] == [r.text for r in plain[1]]
+
+
+def test_tj_kern_threshold_and_small_kerns():
+    from doclayout_yolo_spark.pdf import parse_pdf_blocks as parse
+
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 999 >>\nstream\n"
+        b"BT /F1 12 Tf 1 0 0 1 50 700 Tm"
+        b" [(Ker) -40 (ned) -250 (words)] TJ ET\nendstream\nendobj\n"
+    )
+    blocks, _, _ = parse(raw)
+    # -40 is glyph kerning (no space); -250 is an inter-word gap
+    assert blocks[0].text == "Kerned words"
+
+
+def test_quote_td_tc_tw_operators():
+    from doclayout_yolo_spark.pdf import parse_pdf_blocks as parse
+
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 999 >>\nstream\n"
+        b"BT /F1 12 Tf 0.5 Tc 2 Tw 1 0 0 1 50 700 Tm 0 -14 TD"
+        b" (first line) Tj (second line) ' ET\nendstream\nendobj\n"
+    )
+    blocks, _, _ = parse(raw)
+    assert blocks[0].text == "first line second line"
+    # TD moved down 14 from Tm's 700 -> baseline 686; ' advances one
+    # more leading (TD set TL=14) -> last line at 672
+    assert blocks[0].y1 == pytest.approx(792.0 - 686.0 - 12.0)
+    # Tc/Tw widen the glyph-advance width model
+    assert blocks[0].x2 - blocks[0].x1 == pytest.approx(
+        (0.5 * 12 + 0.5) * len("first line second line") + 2 * 3
+    )
+
+
+def test_multipage_continuous_scroll():
+    from doclayout_yolo_spark.pdf import build_pdf_pages, parse_pdf_blocks
+
+    pdf = build_pdf_pages(
+        [
+            [("Page one body text here", 12.0, 60.0, 150.0)],
+            [("Page two body text here", 12.0, 60.0, 150.0),
+             ("copyright footer", 9.0, 60.0, 760.0)],
+        ],
+        compress=True,
+    )
+    blocks, w, total_h = parse_pdf_blocks(pdf)
+    assert total_h == pytest.approx(2 * 792.0)
+    assert len(blocks) == 3
+    assert blocks[0].y1 == pytest.approx(150.0)
+    assert blocks[1].y1 == pytest.approx(792.0 + 150.0)
+    # footer strip applies per PHYSICAL page: page-2 footer still boiler
+    assert not blocks[0].in_boiler and not blocks[1].in_boiler
+    assert blocks[2].in_boiler
+    text, regions, meta = extract_document(pdf)
+    assert "Page one body text here" in text
+    assert "Page two body text here" in text
+    assert "copyright" not in text
+    assert meta["page_h"] == pytest.approx(2 * 792.0)
 
 
 def test_pdf_pipeline_byte_identity(spark):

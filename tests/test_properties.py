@@ -142,13 +142,16 @@ _pdf_text = st.text(
     sizes=st.lists(st.sampled_from([9.0, 12.0, 14.0, 18.0, 24.0]),
                    min_size=6, max_size=6),
     seed=st.integers(0, 999),
+    style=st.sampled_from(["Tj", "TJ", "Tstar"]),
+    compress=st.booleans(),
 )
-@settings(max_examples=80, deadline=None)
-def test_pdf_writer_parser_roundtrip(texts, sizes, seed):
+@settings(max_examples=120, deadline=None)
+def test_pdf_writer_parser_roundtrip(texts, sizes, seed, style, compress):
     """build_pdf -> parse_pdf_blocks round-trips every text object's
     (normalized) text, position, and font-derived tag — including PDF
     string metacharacters — for content placed outside the boilerplate
-    strips."""
+    strips, across all three show-operator styles (literal Tj, kerned
+    TJ arrays, TL/T* line advances) and FlateDecode compression."""
     import numpy as np
 
     from doclayout_yolo_spark.extract import _norm_ws
@@ -164,7 +167,8 @@ def test_pdf_writer_parser_roundtrip(texts, sizes, seed):
     for i, t in enumerate(texts):
         items.append((t, sizes[i % len(sizes)], float(rng.randint(40, 200)), y))
         y += 40.0
-    pdf = build_pdf(items, page_h=max(900.0, y + 200.0))
+    pdf = build_pdf(items, page_h=max(900.0, y + 200.0),
+                    compress=compress, style=style)
     blocks, _, page_h = parse_pdf_blocks(pdf)
     expected = [(t, s, x, yt) for (t, s, x, yt) in items if _norm_ws(t)]
     assert len(blocks) == len(expected)
@@ -174,3 +178,37 @@ def test_pdf_writer_parser_roundtrip(texts, sizes, seed):
         assert abs(b.x1 - x) < 1e-6
         assert abs(b.y1 - yt) < 1e-6
         assert not b.in_boiler
+
+
+@given(
+    page_texts=st.lists(
+        st.lists(_pdf_text, min_size=1, max_size=3), min_size=1, max_size=4
+    ),
+    compress=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_pdf_multipage_scroll_roundtrip(page_texts, compress):
+    """Multi-page PDFs parse as a continuous scroll: page k's blocks
+    are offset by k*page_h, page order preserved, total height is
+    n_pages * page_h."""
+    from doclayout_yolo_spark.extract import _norm_ws
+    from doclayout_yolo_spark.pdf import build_pdf_pages, parse_pdf_blocks
+
+    pages = []
+    for texts in page_texts:
+        pages.append([
+            (t, 12.0, 60.0, 100.0 + 40.0 * j) for j, t in enumerate(texts)
+        ])
+    pdf = build_pdf_pages(pages, compress=compress)
+    blocks, _, total_h = parse_pdf_blocks(pdf)
+    assert total_h == 792.0 * len(pages)
+    expected = [
+        (k, _norm_ws(t), 100.0 + 40.0 * j)
+        for k, texts in enumerate(page_texts)
+        for j, t in enumerate(texts)
+        if _norm_ws(t)
+    ]
+    assert len(blocks) == len(expected)
+    for b, (k, t, y_top) in zip(blocks, expected):
+        assert b.text == t
+        assert abs(b.y1 - (k * 792.0 + y_top)) < 1e-6
