@@ -604,33 +604,70 @@ FROM truth LEFT JOIN cand ON truth.vec_a = cand.vec_a AND truth.vec_b = cand.vec
 K_CELLS = 16
 
 
-def ann_ivf(spark, sf_dir):
-    emb = _with_norm(_emb(spark, sf_dir))
-    cents = emb.filter(F.col("vec_id") < K_CELLS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("vec").alias("cvec"),
-        F.col("nrm").alias("cn"),
+def _ivf_assigned(spark, sf_dir):
+    """Every vector tagged with its two nearest coarse cells — computed
+    MAP-SIDE: the K_CELLS-row codebook is collected once (dimension-
+    sized, like a trained k-means codebook shipped to executors) and
+    closed over by a mapInPandas kernel that does ONE NumPy matmul per
+    Arrow batch.  Round 2 built the assignment relationally
+    (crossJoin x row_number window), which materialized and SHUFFLED
+    n x K_CELLS rows to compute an argmin that needs no shuffle at all
+    — a 16x-amplified wide exchange at 10^9 vectors.  This plan has NO
+    exchange between the embeddings scan and the assignment (pinned by
+    tests/test_plans.py).  Tie-breaks match the oracle: round(sim, 6)
+    desc, cent_id asc (np.argmax/stable argsort keep the first = lowest
+    cent_id on ties)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "vec")
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < K_CELLS).collect(),
+        key=lambda r: r["vec_id"],
     )
-    sim_c = F.round(
-        _dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cn")), 6
+    cmat = np.array([r["vec"] for r in cent_rows], dtype=np.float64)
+    cn = np.sqrt((cmat * cmat).sum(axis=1))
+
+    def kernel(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf["vec"].tolist(), dtype=np.float64).reshape(-1, DIM)
+            nv = np.sqrt((v * v).sum(axis=1))
+            sims = np.round(v @ cmat.T / np.outer(nv, cn), 6)
+            # stable argsort on (-sim, cent_id): first two columns are
+            # the nprobe=1 and nprobe=2 cells
+            order = np.argsort(-sims, axis=1, kind="stable")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "vec": pdf["vec"],
+                    "cell": order[:, 0].astype("int32"),
+                    "cell2": order[:, 1].astype("int32"),
+                }
+            )
+
+    return emb.mapInPandas(
+        kernel, schema="vec_id long, vec array<double>, cell int, cell2 int"
     )
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.desc("cent_sim"), F.asc("cent_id")
+
+
+def _ivf_topk(assigned, nprobe: int):
+    """Top-k by exact cosine over the query's nprobe nearest cells."""
+    probe_cells = (
+        F.array(F.col("cell"))
+        if nprobe == 1
+        else F.array(F.col("cell"), F.col("cell2"))
     )
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "vec", "nrm", "cent_id", sim_c.alias("cent_sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", "nrm", F.col("cent_id").alias("cell"))
+    q = (
+        _with_norm(assigned.filter(F.col("vec_id") < N_QUERIES))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("nrm").alias("qn"),
+            F.explode(probe_cells).alias("cell"),
+        )
     )
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("nrm").alias("qn"),
-        "cell",
-    )
-    cand = assigned.select(
+    cand = _with_norm(assigned).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("vec").alias("tvec"),
         F.col("nrm").alias("tn"),
@@ -646,6 +683,54 @@ def ann_ivf(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOPK)
     )
+
+
+def ann_ivf(spark, sf_dir):
+    return _ivf_topk(_ivf_assigned(spark, sf_dir), nprobe=1)
+
+
+def ann_ivf_nprobe2(spark, sf_dir):
+    """IVF with nprobe=2: each query probes its two nearest cells —
+    the recall/latency knob the IVF literature trades on.  Targets
+    still live in exactly one cell, so probing two distinct cells can
+    never duplicate a candidate pair."""
+    return _ivf_topk(_ivf_assigned(spark, sf_dir), nprobe=2)
+
+
+def ann_ivf_recall(spark, sf_dir):
+    """MEASURED recall@k of IVF against the exact brute-force top-k
+    (mirrors ann_lsh_multiband's measured-not-claimed methodology):
+    one row per (nprobe, query) with the hit count and recall
+    fraction.  nprobe=2 must dominate nprobe=1 row-wise."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    truth = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("true_neighbor")
+    )
+    per_probe = []
+    for nprobe in (1, 2):
+        ivf = _ivf_topk(assigned, nprobe=nprobe).select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            truth.join(
+                ivf,
+                (truth["query_id"] == ivf["query_id"])
+                & (truth["true_neighbor"] == ivf["neighbor_id"]),
+                "left",
+            )
+            .groupBy(truth["query_id"].alias("query_id"))
+            .agg(
+                F.count(ivf["neighbor_id"]).cast("long").alias("n_hit"),
+            )
+            .select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                "query_id",
+                "n_hit",
+                F.round(F.col("n_hit") / F.lit(float(TOPK)), 6).alias("recall"),
+            )
+        )
+        per_probe.append(hits)
+    return per_probe[0].unionByName(per_probe[1])
 
 
 ANN_IVF_SQL = f"""
@@ -677,6 +762,77 @@ SELECT cell, query_id, neighbor_id, cosine, rank FROM (
 ) WHERE rank <= {TOPK}
 """
 
+# shared CTE prefix: per-vector cell ranking against the codebook
+_IVF_RANKED = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cn FROM e WHERE vec_id < {K_CELLS}),
+ranked AS (
+  SELECT e.vec_id, e.vec, e.nrm, c.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(list_dot_product(e.vec, c.cvec) / (e.nrm * c.cn), 6) DESC,
+                    c.cent_id ASC) AS rn
+  FROM e CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, vec, nrm, cent_id AS cell FROM ranked WHERE rn = 1)
+"""
+
+ANN_IVF2_SQL = f"""
+{_IVF_RANKED},
+qprobe AS (
+  SELECT vec_id, vec, nrm, cent_id AS cell FROM ranked
+  WHERE rn <= 2 AND vec_id < {N_QUERIES}
+),
+pairs AS (
+  SELECT t.cell, q.vec_id AS query_id, t.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.vec, t.vec) / (q.nrm * t.nrm), 6) AS cosine
+  FROM qprobe q JOIN assigned t ON q.cell = t.cell AND q.vec_id <> t.vec_id
+)
+SELECT cell, query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {TOPK}
+"""
+
+ANN_IVF_RECALL_SQL = f"""
+{_IVF_RANKED},
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.vec, t.vec) / (q.nrm * t.nrm), 6) DESC,
+                      t.vec_id ASC) AS rank
+    FROM e q JOIN e t ON q.vec_id < {N_QUERIES} AND q.vec_id <> t.vec_id
+  ) WHERE rank <= {TOPK}
+),
+ivf AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT np.nprobe, q.vec_id AS query_id, t.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY np.nprobe, q.vec_id
+             ORDER BY ROUND(list_dot_product(q.vec, t.vec) / (q.nrm * t.nrm), 6) DESC,
+                      t.vec_id ASC) AS rank
+    FROM (SELECT 1 AS nprobe UNION ALL SELECT 2) np
+    JOIN ranked q ON q.rn <= np.nprobe AND q.vec_id < {N_QUERIES}
+    JOIN assigned t ON t.cell = q.cent_id AND q.vec_id <> t.vec_id
+  ) WHERE rank <= {TOPK}
+)
+SELECT CAST(np.nprobe AS INT) AS nprobe, tr.query_id,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit,
+       ROUND(COUNT(i.neighbor_id) / CAST({TOPK} AS DOUBLE), 6) AS recall
+FROM (SELECT 1 AS nprobe UNION ALL SELECT 2) np
+CROSS JOIN truth tr
+LEFT JOIN ivf i
+  ON i.nprobe = np.nprobe AND i.query_id = tr.query_id
+ AND i.neighbor_id = tr.neighbor_id
+GROUP BY 1, 2
+"""
+
 
 VECTOR_QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
@@ -688,4 +844,6 @@ VECTOR_QUERIES = {
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_lsh_multiband": (ann_lsh_multiband, ANN_MULTIBAND_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
+    "ann_ivf_nprobe2": (ann_ivf_nprobe2, ANN_IVF2_SQL),
+    "ann_ivf_recall": (ann_ivf_recall, ANN_IVF_RECALL_SQL),
 }

@@ -98,6 +98,20 @@ def test_lsh_signature_is_single_mapinpandas(spark):
     assert "Join" not in plan
 
 
+def test_ivf_assignment_has_no_exchange(spark):
+    # cell assignment is a map-side matmul against the broadcast
+    # codebook: NO exchange (and no join / window) may appear between
+    # the embeddings scan and the assignment — round 2 shuffled
+    # n x K_CELLS rows through a row_number window here
+    from doclayout_yolo_spark.queries_vector import _ivf_assigned
+
+    plan = plan_of(_ivf_assigned(spark, SF_DIR), "simple")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
 def test_bucketed_tables_join_without_shuffle(spark):
     # the Iceberg bucket-transform story, demonstrated with Spark
     # bucketed tables: two fact tables bucketed+sorted on the join key
