@@ -215,6 +215,9 @@ JACCARD_THRESHOLD = 0.6
 MAX_SHINGLE_DF = 50
 
 
+_SHINGLE_CACHE: dict = {}
+
+
 def _shingles(spark, sf_dir):
     """Distinct (doc_id, 3-gram) rows, PERSISTED: every dedup query
     reuses this subtree several times (df cap, per-doc counts, both
@@ -224,12 +227,21 @@ def _shingles(spark, sf_dir):
     distinct subtree — the dominant cost at 100 TB — re-executes up to
     9x per query (measured in round 2's plan audit).  MEMORY_AND_DISK:
     at cluster scale this is the 'stage the shingle table once'
-    pattern, spilling instead of recomputing."""
+    pattern, spilling instead of recomputing.
+
+    Memoized per (application, sf_dir) so repeated query-builder
+    invocations across a long-lived session (contract sweeps, bench
+    loops) reuse ONE persisted DataFrame instead of stacking cache
+    entries for the lifetime of the session."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     from pyspark import StorageLevel  # noqa: PLC0415
 
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
-    return (
+    built = (
         toks.select(
             "doc_id",
             F.explode(
@@ -242,6 +254,8 @@ def _shingles(spark, sf_dir):
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _SHINGLE_CACHE[key] = built
+    return built
 
 
 def _capped_shingles(spark, sf_dir):
@@ -536,14 +550,22 @@ SELECT doc_id, CAST({_SIM_VAL} AS BIGINT) AS simhash FROM sums
 # --- TF-IDF top terms per document -------------------------------------------------
 
 TFIDF_TOPK = 3
+HOT_TERM_HEAD = 1024  # df-table head broadcast to kill term-key skew
 
 
 def tfidf_top_terms(spark, sf_dir):
     """Per-document top-k terms by tf * ln(N/df) — the classic
-    relevance weighting as two aggregations and a broadcast-joined
-    document-frequency table.  At corpus scale the df table is the
-    only global state (one groupBy over terms); everything else is
-    per-document."""
+    relevance weighting as two aggregations and a document-frequency
+    join.
+
+    Skew handling: the tf->df join is keyed by term, and term
+    frequency is Zipfian — stopword-grade hot terms would concentrate
+    on single reducers at corpus scale.  The HOT_TERM_HEAD highest-df
+    terms (which carry most of the row mass) are broadcast and joined
+    MAP-SIDE; only the long de-hotted tail shuffles by term.  Both
+    branches read the same tf/df aggregation subtrees, so the shuffle
+    files are written once and reused (ReuseExchange).  Output is
+    identical to the plain join — the oracle is unchanged."""
     d = _docs(spark, sf_dir)
     # corpus size as a broadcast 1-row aggregate (keeps the query lazy —
     # no driver-side action inside the builder)
@@ -555,7 +577,12 @@ def tfidf_top_terms(spark, sf_dir):
     df = words.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count("*").alias("df")
     )
-    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
+    hot = df.orderBy(F.desc("df"), F.asc("term")).limit(HOT_TERM_HEAD)
+    cold = df.join(F.broadcast(hot.select("term")), "term", "left_anti")
+    joined = tf.join(F.broadcast(hot), "term").unionByName(
+        tf.join(cold, "term")
+    )
+    scored = joined.crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
         F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
@@ -776,13 +803,45 @@ SAMPLE_K = 20
 def stratified_sample(spark, sf_dir):
     """Exact per-stratum subsample: k rows per event_type, selected by
     a deterministic uniform shuffle key (md5 of the row key) — the
-    training-data subsampling op.  One shuffle (window partition);
-    at scale the same shape works with any stratum column."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    key = F.md5(F.col("event_id").cast("string"))
-    w = W.partitionBy("event_type").orderBy(key, F.asc("event_id"))
+    training-data subsampling op.
+
+    Skew-safe two-phase plan: phase 1 keeps each INPUT partition's k
+    smallest keys per stratum map-side (zero shuffle — a mapInPandas
+    fold whose state is bounded by n_strata * k rows), so the exact
+    window in phase 2 sees at most n_partitions * n_strata * k rows.
+    The round-2 single-window plan funneled every stratum through one
+    reducer — with few, huge strata (the realistic training-data case)
+    that's a straggler at 100 TB; the global top-k is a subset of the
+    union of per-partition top-k's, so the output is unchanged (same
+    oracle)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.md5(F.col("event_id").cast("string")).alias("skey"),
+    )
+
+    def partial_topk(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        best = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat([best, pdf])
+            best = (
+                cur.sort_values(["event_type", "skey", "event_id"])
+                .groupby("event_type", sort=False)
+                .head(SAMPLE_K)
+            )
+        if best is not None and len(best):
+            yield best
+
+    pre = ev.mapInPandas(
+        partial_topk,
+        schema="event_type string, event_id long, value double, skey string",
+    )
+    w = W.partitionBy("event_type").orderBy("skey", F.asc("event_id"))
     return (
-        ev.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        pre.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= SAMPLE_K)
         .select("event_type", "event_id", "value", "sample_rank")
     )

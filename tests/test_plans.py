@@ -112,6 +112,29 @@ def test_ivf_assignment_has_no_exchange(spark):
     assert "Window" not in plan
 
 
+def test_stratified_sample_prefilters_before_window(spark):
+    # the exact per-stratum window must see only the map-side
+    # per-partition top-k survivors: MapInPandas below the (single)
+    # window exchange, never the full table through one reducer per
+    # stratum
+    from doclayout_yolo_spark.queries_text import stratified_sample
+
+    plan = plan_of(stratified_sample(spark, SF_DIR), "simple")
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") == 1
+    # the exchange consumes the pre-filtered MapInPandas output
+    assert plan.index("MapInPandas") > plan.index("Exchange")  # tree prints top-down
+
+
+def test_tfidf_hot_terms_join_is_broadcast(spark):
+    # the Zipfian head of the df table must ride a BroadcastHashJoin
+    # (map-side); only the de-hotted tail may shuffle by term
+    from doclayout_yolo_spark.queries_text import tfidf_top_terms
+
+    plan = plan_of(tfidf_top_terms(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_bucketed_tables_join_without_shuffle(spark):
     # the Iceberg bucket-transform story, demonstrated with Spark
     # bucketed tables: two fact tables bucketed+sorted on the join key
