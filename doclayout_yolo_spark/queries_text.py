@@ -27,6 +27,49 @@ def _h64(col):
 _H64_DUCK = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
+# --- script-aware tokenizer ---------------------------------------------------
+#
+# Whitespace splitting silently degrades on unsegmented scripts: a
+# Chinese/Japanese sentence is ONE whitespace token, so shingle dedup,
+# SimHash, and TF-IDF see a single opaque term.  The shared tokenizer
+# splits on whitespace, then degrades any token containing CJK
+# codepoints (Han, kana, Hangul) to overlapping CODEPOINT BIGRAMS — the
+# standard IR fallback for unsegmented text (cf. CJK bigram analyzers
+# in Lucene).  On Latin-only corpora it is exactly whitespace
+# tokenization, so every existing oracle is unchanged at fixture scale.
+# Both engine expressions share the literal character class below and
+# are verified token-for-token identical by the tokenize_mixed_script
+# contract query.
+
+# Han U+4E00-9FFF, kana U+3040-30FF, Hangul syllables U+AC00-D7AF —
+# embedded as literal characters so both engines' regex engines see
+# identical patterns with no escape-syntax differences
+_CJK_CLASS = "[一-鿿぀-ヿ가-힯]"
+
+
+def _toks_spark(col: str = "text") -> str:
+    """Spark SQL expr: script-aware token array (non-empty tokens)."""
+    return (
+        f"filter(flatten(transform(split({col}, '\\\\s+'), t -> "
+        f"CASE WHEN t RLIKE '{_CJK_CLASS}' AND char_length(t) >= 2 "
+        f"THEN transform(sequence(1, char_length(t) - 1), i -> substring(t, i, 2)) "
+        f"ELSE array(t) END)), x -> char_length(x) > 0)"
+    )
+
+
+def _toks_duck(col: str = "text") -> str:
+    """DuckDB expr computing the identical token list."""
+    return (
+        f"list_filter(flatten([CASE WHEN regexp_matches(t, '{_CJK_CLASS}') AND length(t) >= 2 "
+        f"THEN [substring(t, i, 2) FOR i IN range(1, length(t))] "
+        f"ELSE [t] END FOR t IN regexp_split_to_array({col}, '\\s+')]), "
+        f"x -> length(x) > 0)"
+    )
+
+
+_TOKS_DUCK_TEXT = _toks_duck("text")
+
+
 # --- C8 analog: per-document text statistics --------------------------------
 
 def text_stats(spark, sf_dir):
@@ -240,7 +283,7 @@ def _shingles(spark, sf_dir):
     from pyspark import StorageLevel  # noqa: PLC0415
 
     d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    toks = d.select("doc_id", F.expr(_toks_spark("text")).alias("w"))
     built = (
         toks.select(
             "doc_id",
@@ -304,9 +347,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return j.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
-_SHINGLES_DUCK = """
+_SHINGLES_DUCK = f"""
   SELECT DISTINCT doc_id, sh FROM (
-    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    SELECT doc_id, {_toks_duck('text')} AS w FROM documents
   ), UNNEST([concat_ws(' ', w[i+1], w[i+2], w[i+3]) FOR i IN RANGE(0, LENGTH(w) - 2)]) u(sh)
 """
 
@@ -493,8 +536,9 @@ SIMHASH_BITS = 16
 def _simhash_df(spark, sf_dir, bits: int):
     d = _docs(spark, sf_dir)
     words = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word")
-    ).filter(F.length("word") > 0)
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_toks_spark("text")))).alias("word"),
+    )
     hashed = words.select("doc_id", _h64(F.col("word")).alias("h"))
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
@@ -534,8 +578,7 @@ _SIM_VAL = _sim_val_duck(SIMHASH_BITS)
 SIMHASH_SQL = f"""
 WITH words AS (
   SELECT DISTINCT doc_id, word
-  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
-  WHERE LENGTH(word) > 0
+  FROM (SELECT doc_id, UNNEST({_TOKS_DUCK_TEXT}) AS word FROM documents)
 ),
 hashed AS (SELECT doc_id, {_H64_DUCK.format(x="word")} AS h FROM words),
 sums AS (
@@ -571,8 +614,8 @@ def tfidf_top_terms(spark, sf_dir):
     # no driver-side action inside the builder)
     n = d.agg(F.count("*").cast("double").alias("n_docs"))
     words = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    ).filter(F.length("term") > 0)
+        "doc_id", F.explode(F.expr(_toks_spark("text"))).alias("term")
+    )
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = words.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count("*").alias("df")
@@ -596,10 +639,9 @@ def tfidf_top_terms(spark, sf_dir):
 
 
 TFIDF_SQL = f"""
-WITH words AS (
-  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+WITH w AS (
+  SELECT doc_id, UNNEST({_TOKS_DUCK_TEXT}) AS term FROM documents
 ),
-w AS (SELECT doc_id, term FROM words WHERE LENGTH(term) > 0),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
 df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
@@ -623,8 +665,8 @@ def repetition_ratio(spark, sf_dir):
     30% one token is boilerplate).  One groupBy + argmax window."""
     d = _docs(spark, sf_dir)
     words = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    ).filter(F.length("term") > 0)
+        "doc_id", F.explode(F.expr(_toks_spark("text"))).alias("term")
+    )
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     totals = words.groupBy("doc_id").agg(F.count("*").alias("n_terms"))
     w = W.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
@@ -641,11 +683,10 @@ def repetition_ratio(spark, sf_dir):
     )
 
 
-REPETITION_SQL = """
-WITH words AS (
-  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+REPETITION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, UNNEST({_TOKS_DUCK_TEXT}) AS term FROM documents
 ),
-w AS (SELECT doc_id, term FROM words WHERE LENGTH(term) > 0),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
 totals AS (SELECT doc_id, COUNT(*) AS n_terms FROM w GROUP BY 1),
 top AS (
@@ -729,8 +770,7 @@ _SIM_BANDS_DUCK = "\nUNION ALL\n".join(
 SIMHASH_HAMMING_SQL = f"""
 WITH words AS (
   SELECT DISTINCT doc_id, word
-  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
-  WHERE LENGTH(word) > 0
+  FROM (SELECT doc_id, UNNEST({_TOKS_DUCK_TEXT}) AS word FROM documents)
 ),
 hashed AS (SELECT doc_id, {_H64_DUCK.format(x="word")} AS h FROM words),
 sums AS (
@@ -944,8 +984,117 @@ SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+# --- mixed-script fixture queries ---------------------------------------------
+#
+# The driver corpus is ASCII-only, so the CJK degradation path would
+# otherwise never face the value-hash gate.  These queries synthesize a
+# deterministic mixed-script twin of each document IN BOTH ENGINES
+# (English head + a per-doc CJK suffix chosen by doc_id % 3) and gate
+# the tokenizer / language-ID behavior on it.
+
+_MIXED_CASE = (
+    "CASE CAST(doc_id % 3 AS INT)"
+    " WHEN 0 THEN ' 机器学习模型训练'"
+    " WHEN 1 THEN ' データ処理パイプライン'"
+    " ELSE ' 데이터 중복 제거' END"
+)
+_MIXED_EXPR = f"concat(substring(text, 1, 40), {_MIXED_CASE})"
+
+_HAN, _KANA, _HANGUL = "[一-鿿]", "[぀-ヿ]", "[가-힯]"
+
+
+def tokenize_mixed_script(spark, sf_dir):
+    """Script-aware tokenization gated on mixed-script text: CJK runs
+    degrade to codepoint bigrams, Latin tokens stay whole.  Output:
+    per (doc, token) counts with a CJK flag — the value-hash gate
+    proves the Spark and DuckDB tokenizers agree token-for-token on
+    Han/kana/Hangul input."""
+    d = _docs(spark, sf_dir)
+    toks = d.selectExpr(
+        "doc_id", f"explode({_toks_spark(_MIXED_EXPR)}) AS tok"
+    )
+    return toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max(
+            F.when(F.col("tok").rlike(_CJK_CLASS), 1).otherwise(0)
+        ).cast("int").alias("is_cjk"),
+    )
+
+
+TOKENIZE_MIXED_SQL = f"""
+WITH m AS (SELECT doc_id, {_MIXED_EXPR} AS mixed FROM documents),
+toks AS (SELECT doc_id, UNNEST({_toks_duck("mixed")}) AS tok FROM m)
+SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN regexp_matches(tok, '{_CJK_CLASS}') THEN 1 ELSE 0 END) AS INT) AS is_cjk
+FROM toks GROUP BY 1, 2
+"""
+
+
+def lang_id_cjk(spark, sf_dir):
+    """lang_id extended to unsegmented scripts: Han / kana / Hangul
+    codepoint counts join the en/de/fr whole-token markers; kana
+    outranks Han on ties (Japanese text necessarily contains kanji,
+    Chinese contains no kana), Latin languages are the fallback when
+    no CJK is present."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang", f"{_MIXED_EXPR} AS text"
+    )
+    n_han = F.length(F.regexp_replace(F.col("text"), f"[^{_HAN[1:-1]}]", ""))
+    n_kana = F.length(F.regexp_replace(F.col("text"), f"[^{_KANA[1:-1]}]", ""))
+    n_hang = F.length(F.regexp_replace(F.col("text"), f"[^{_HANGUL[1:-1]}]", ""))
+    scores = {
+        lang: sum((_occ_spark(w) for w in ws[1:]), _occ_spark(ws[0]))
+        for lang, ws in _MARKERS.items()
+    }
+    latin = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]), "en"
+        )
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    pred = (
+        F.when((n_kana > 0) & (n_kana >= n_hang), "ja")
+        .when((n_hang > 0) & (n_hang >= n_han), "ko")
+        .when(n_han > 0, "zh")
+        .otherwise(latin)
+    )
+    return d.select(
+        "doc_id",
+        n_han.cast("long").alias("score_zh"),
+        n_kana.cast("long").alias("score_ja"),
+        n_hang.cast("long").alias("score_ko"),
+        pred.alias("pred_lang"),
+    )
+
+
+LANG_ID_CJK_SQL = f"""
+WITH m AS (SELECT doc_id, lang, {_MIXED_EXPR} AS text FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(LENGTH(regexp_replace(text, '[^{_HAN[1:-1]}]', '', 'g')) AS BIGINT) AS score_zh,
+         CAST(LENGTH(regexp_replace(text, '[^{_KANA[1:-1]}]', '', 'g')) AS BIGINT) AS score_ja,
+         CAST(LENGTH(regexp_replace(text, '[^{_HANGUL[1:-1]}]', '', 'g')) AS BIGINT) AS score_ko,
+         CAST({_lang_score_duck("en")} AS BIGINT) AS score_en,
+         CAST({_lang_score_duck("de")} AS BIGINT) AS score_de,
+         CAST({_lang_score_duck("fr")} AS BIGINT) AS score_fr
+  FROM m
+)
+SELECT doc_id, score_zh, score_ja, score_ko,
+       CASE WHEN score_ja > 0 AND score_ja >= score_ko THEN 'ja'
+            WHEN score_ko > 0 AND score_ko >= score_zh THEN 'ko'
+            WHEN score_zh > 0 THEN 'zh'
+            WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+            WHEN score_de >= score_fr THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM s
+"""
+
+
 TEXT_QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
+    "tokenize_mixed_script": (tokenize_mixed_script, TOKENIZE_MIXED_SQL),
+    "lang_id_cjk": (lang_id_cjk, LANG_ID_CJK_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
