@@ -213,6 +213,9 @@ def confusion_matrix(
         "doc", "det_id", "x1", "y1", "x2", "y2", "conf", "cls",
         F.lit("det").alias("side"),
     )
+    if "det_id" not in gts.columns and "gt_id" in gts.columns:
+        # accept match_table-shaped ground truth (gt_id) — same contract
+        gts = gts.withColumnRenamed("gt_id", "det_id")
     g = gts.select(
         "doc", "det_id", "x1", "y1", "x2", "y2",
         F.lit(0.0).alias("conf"), "cls", F.lit("gt").alias("side"),
@@ -288,9 +291,21 @@ def ap_per_class(matches: DataFrame, gt_counts: dict[int, int]) -> DataFrame:
             cols["ap"].append(ap_interp(ctp / n_gt, ctp / npreds))
         return pd.DataFrame(cols)
 
-    ap = matches.groupBy("cls").applyInPandas(_ap_group, schema=AP_DDL)
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    # persisted: both the result branch and the zero-fill anti-join
+    # below consume it — without the cache the whole match_table
+    # applyInPandas pipeline would execute a second time just to list
+    # the classes present.  The cache entry is nc x iou_thresholds
+    # rows, negligible at any scale.
+    ap = (
+        matches.groupBy("cls")
+        .applyInPandas(_ap_group, schema=AP_DDL)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # gt classes with zero detections never reach the kernel: union ap=0
-    # rows for them (anti-join keeps this distributed and tiny)
+    # rows for them (anti-join against the tiny cached ap output keeps
+    # this distributed and avoids re-deriving classes from matches)
     spark = matches.sparkSession
     zeros = spark.createDataFrame(
         [
@@ -300,9 +315,7 @@ def ap_per_class(matches: DataFrame, gt_counts: dict[int, int]) -> DataFrame:
         ],
         schema=AP_DDL,
     )
-    missing = zeros.join(
-        matches.select("cls").distinct(), "cls", "left_anti"
-    )
+    missing = zeros.join(ap.select("cls").distinct(), "cls", "left_anti")
     return ap.unionByName(missing)
 
 

@@ -328,6 +328,24 @@ def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
     return spark.read.parquet(data_path(output_path))
 
 
+def read_lineage(spark: SparkSession, output_path: str) -> DataFrame:
+    """Lineage rows with schema evolution handled: round-1 outputs
+    predate the attempt_number column, and a resumed job appends
+    new-schema files into the same _lineage dir — a plain parquet read
+    could drop the column or fail depending on which footer the reader
+    samples.  mergeSchema unions the schemas; legacy rows surface with
+    attempt_number = 0 (first attempt, the only kind round 1 recorded)."""
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(_lineage_path(output_path))
+    )
+    if "attempt_number" not in df.columns:
+        df = df.withColumn("attempt_number", F.lit(0))
+    return df.withColumn(
+        "attempt_number", F.coalesce(F.col("attempt_number"), F.lit(0))
+    )
+
+
 def stale_buckets(
     spark: SparkSession, output_path: str, version: str = KERNEL_VERSION
 ) -> list[int]:

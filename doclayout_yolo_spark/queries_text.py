@@ -791,6 +791,161 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}
 """
 
 
+# --- 64-bit SimHash (production shape) ---------------------------------------------
+#
+# The 32-bit query above keeps the fixture-scale output dense; this is
+# the shape a real corpus runs: a full 64-bit signature (bits 0-59
+# from md5 chars 1-15 of each token, bits 60-63 from chars 16-30 —
+# both engine-agnostic), banded 4 x 16 so any pair within hamming
+# distance 3 must agree exactly on >= 1 band (3 flips spoil at most 3
+# of 4 bands).  Sign-bit handling: bit 63 is assembled as int64-min
+# (two's complement) and band BUCKETS are built from the per-bit sums
+# directly, so no arithmetic shift of a negative signature ever feeds
+# a modulo (where Spark/DuckDB sign semantics could drift).
+
+HAMMING64_MAX = 3
+SIM64_WIDTH = 16
+SIM64_BANDS = 4
+_I64_MIN = -9223372036854775807 - 1
+
+
+def _h64b(col):
+    """Second engine-agnostic 60-bit hash: md5 hex chars 16-30."""
+    return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("bigint")
+
+
+def _simhash64_df(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_toks_spark("text")))).alias("word"),
+    )
+    hashed = words.select(
+        "doc_id", _h64(F.col("word")).alias("h1"), _h64b(F.col("word")).alias("h2")
+    )
+
+    def bit_of(b):
+        src, off = ("h1", b) if b < 60 else ("h2", b - 60)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(bit_of(b) == 1, 1).otherwise(-1)).alias(f"s{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.when(F.col("s63") > 0, F.lit(_I64_MIN)).otherwise(F.lit(0))
+    for b in range(63):
+        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    cols = [sim.cast("bigint").alias("simhash")]
+    for k in range(SIM64_BANDS):
+        bucket = F.lit(0)
+        for j in range(SIM64_WIDTH):
+            bucket = bucket + F.when(
+                F.col(f"s{k * SIM64_WIDTH + j}") > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        cols.append(bucket.cast("bigint").alias(f"b{k}"))
+    return bit_sums.select("doc_id", *cols)
+
+
+def simhash64_hamming_pairs(spark, sf_dir):
+    """Near-dup pairs with hamming <= 3 over the 64-bit signature —
+    the corpus-scale variant of simhash_hamming_pairs (same pigeonhole
+    band -> bucket-groupBy pair expansion; no all-pairs join)."""
+    sim = _simhash64_df(spark, sf_dir)
+    bands = None
+    for k in range(SIM64_BANDS):
+        b = sim.select(
+            "doc_id",
+            "simhash",
+            F.lit(k).alias("band"),
+            F.col(f"b{k}").alias("bucket"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,"
+                    " a.simhash AS sa, b.simhash AS sb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("long"))
+        .filter(F.col("hamming") <= HAMMING64_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _sim64_bit_duck(b: int) -> str:
+    src, off = ("h1", b) if b < 60 else ("h2", b - 60)
+    return f"SUM(CASE WHEN ({src} >> {off}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+
+
+def _sim64_bucket_duck(k: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN s{k * SIM64_WIDTH + j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIM64_WIDTH)
+    )
+
+
+_SIM64_VAL = "(CASE WHEN s63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END) + " + " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(63)
+)
+
+_SIM64_BANDS_DUCK = "\nUNION ALL\n".join(
+    f"SELECT doc_id, simhash, {k} AS band, b{k} AS bucket FROM s"
+    for k in range(SIM64_BANDS)
+)
+
+SIMHASH64_HAMMING_SQL = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, UNNEST({_TOKS_DUCK_TEXT}) AS word FROM documents)
+),
+hashed AS (
+  SELECT doc_id,
+         {_H64_DUCK.format(x="word")} AS h1,
+         CAST(concat('0x', substr(md5(word), 16, 15)) AS BIGINT) AS h2
+  FROM words
+),
+sums AS (
+  SELECT doc_id,
+         {", ".join(_sim64_bit_duck(b) for b in range(64))}
+  FROM hashed GROUP BY doc_id
+),
+s AS (
+  SELECT doc_id, CAST({_SIM64_VAL} AS BIGINT) AS simhash,
+         {", ".join(f"CAST({_sim64_bucket_duck(k)} AS BIGINT) AS b{k}" for k in range(SIM64_BANDS))}
+  FROM sums
+),
+bands AS ({_SIM64_BANDS_DUCK}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING64_MAX}
+"""
+
+
 # --- rolling-hash document fingerprint -------------------------------------------
 
 ROLL_BASE = 131
@@ -1109,4 +1264,5 @@ TEXT_QUERIES = {
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "repetition_ratio": (repetition_ratio, REPETITION_SQL),
     "simhash_hamming_pairs": (simhash_hamming_pairs, SIMHASH_HAMMING_SQL),
+    "simhash64_hamming_pairs": (simhash64_hamming_pairs, SIMHASH64_HAMMING_SQL),
 }

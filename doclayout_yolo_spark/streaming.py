@@ -154,12 +154,14 @@ def stateful_url_dedup(pages_stream: DataFrame, timeout_s: int = 24 * 3600):
             yield pd.DataFrame({"url": [], "html_bytes": []})
             return
         n_dups = state.get[0] if state.exists else -1
-        first_bytes = 0
+        first_bytes = None
         n_new = 0
         for pdf in pdfs:
             n_new += len(pdf)
-            if n_dups == -1 and len(pdf):
+            if first_bytes is None and len(pdf):
                 first_bytes = int(pdf["html_bytes"].iloc[0])
+        if first_bytes is None:
+            first_bytes = 0
         emit = n_dups == -1  # never seen before this batch
         state.update((max(n_dups, 0) + n_new,))
         state.setTimeoutDuration(timeout_s * 1000)

@@ -176,6 +176,28 @@ def test_gt_only_class_counts_as_ap_zero(spark):
     assert s["map50"] < 0.6  # (≈1 + 0) / 2
 
 
+def test_confusion_matrix_accepts_gt_id_shaped_gts(spark):
+    # match_table's gt contract uses gt_id; confusion_matrix must take
+    # the same shape (aliased internally) instead of demanding det_id
+    from doclayout_yolo_spark.metrics import confusion_matrix
+
+    det_pdf, gt_pdf, _ = _fixture()
+    dets = spark.createDataFrame(det_pdf)
+    via_gt_id = confusion_matrix(
+        dets, spark.createDataFrame(gt_pdf), nc=3
+    ).toPandas()
+    via_det_id = confusion_matrix(
+        dets,
+        spark.createDataFrame(gt_pdf.rename(columns={"gt_id": "det_id"})),
+        nc=3,
+    ).toPandas()
+    key = ["pred_cls", "gt_cls"]
+    assert via_gt_id.sort_values(key).reset_index(drop=True).equals(
+        via_det_id.sort_values(key).reset_index(drop=True)
+    )
+    assert len(via_gt_id) == 16  # (nc+1)^2 padded cells
+
+
 def test_greedy_match_gt_dedup_keeps_lowest_det_index():
     # two same-class dets, each individually matched after det-dedup,
     # both claiming the SAME gt: the reference keeps the lowest det

@@ -105,10 +105,24 @@ def test_run_job_and_resume(spark, pages_df, tmp_path_factory, golden):
     assert len(read_extracted(spark, out2).collect()) == N_PAGES
 
     # lineage recorded and consistent
-    lineage = spark.read.parquet(f"{out2}/_lineage")
+    from doclayout_yolo_spark.pipeline import read_lineage
+
+    lineage = read_lineage(spark, out2)
     agg = lineage.agg(F.sum("n_docs").alias("d")).collect()[0]
     assert agg["d"] == N_PAGES
     assert lineage.filter(F.col("bytes_in") <= 0).count() == 0
+
+    # schema evolution: a round-1-era lineage file (no attempt_number)
+    # appended into the same dir must not break the read or drop the
+    # column — legacy rows surface as attempt_number = 0
+    legacy_cols = [c for c in lineage.columns if c != "attempt_number"]
+    lineage.select(*legacy_cols).limit(1).write.mode("append").parquet(
+        f"{out2}/_lineage"
+    )
+    merged = read_lineage(spark, out2)
+    assert "attempt_number" in merged.columns
+    assert merged.count() == lineage.count() + 1
+    assert merged.filter(F.col("attempt_number").isNull()).count() == 0
 
 
 def test_orphan_bucket_reconciliation(spark, pages_df, tmp_path_factory):
