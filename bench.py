@@ -41,6 +41,10 @@ HEADLINE = [
     "detection_map",
     "extract_pages",
     "extract_pdf_pages",
+    "extract_pdf_pages_compressed",
+    "ann_ivf",
+    "simhash64_hamming_pairs",
+    "tfidf_top_terms",
     "corpus_curation_pipeline",
 ]
 
@@ -55,6 +59,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # pin the bench (and the JVM + python workers it forks, which
+    # inherit the mask) to the first N cpus — same protocol as
+    # tools/scaling_bench.py's taskset, so round-over-round numbers
+    # stop drifting with co-tenant placement on the oversubscribed host
+    try:
+        os.sched_setaffinity(0, range(cpus))
+    except (AttributeError, OSError, ValueError):
+        pass
     spark = get_spark(app="bench", master=f"local[{cpus}]")
 
     # warmup: JVM codegen + the full python worker pool (the first

@@ -45,11 +45,15 @@ def row_key(row):
     return tuple(normalize(v) for v in row)
 
 
-def main(only: list[str]) -> int:
+def main(only: list[str], spark=None) -> int:
     from doclayout_yolo_spark.contract import ALL_QUERIES
     from doclayout_yolo_spark.session import get_spark
 
-    spark = get_spark(app="check_contract", master="local[8]", shuffle_partitions=8)
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(
+            app="check_contract", master="local[8]", shuffle_partitions=8
+        )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -106,7 +110,8 @@ def main(only: list[str]) -> int:
                 print(f"    spark {a}\n    duck  {b}")
         if status == "FAIL":
             failures.append((name, "mismatch"))
-    spark.stop()
+    if own_session:
+        spark.stop()
     print(f"\n{len(failures)} failures" if failures else "\nALL MATCH")
     return 1 if failures else 0
 

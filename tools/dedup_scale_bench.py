@@ -1,0 +1,128 @@
+"""Scale-proof the dedup family: run the LSH dedup lineage on the
+sf0.1 documents table (5k docs) and on a deterministic 10x twin
+(50k docs), and show wall time + intermediate row counts grow
+~linearly — the property that separates the LSH path from any
+all-pairs design at 100 TB.
+
+The 10x fixture replicates each sf0.1 document 10 times; replica r>0
+prefixes every token with ``r<r>`` so replicas share NO shingles with
+the base corpus — the corpus becomes 10 structurally identical,
+mutually non-duplicate shards, i.e. the near-dup rate (the thing that
+drives candidate-pair counts) is held constant while volume grows 10x.
+Exactly-linear scaling then predicts 10x shingle rows, 10x candidate
+pairs, 10x output pairs, and (under fixed parallelism) <=10x wall.
+
+Writes BENCH/dedup_scale.json and prints it.
+
+Usage: python tools/dedup_scale_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TENX_DIR = "/tmp/dedup_scale_10x"
+REPLICAS = 10
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_10x(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(f"{TENX_DIR}/documents.parquet"):
+        return
+    shutil.rmtree(TENX_DIR, ignore_errors=True)
+    base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("rep"))
+    ten = (
+        base.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * REPLICAS + F.col("rep")).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(split(text, ' '),"
+                        " t -> concat('r', cast(rep as string), t))"
+                    ),
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            F.length("text").alias("n_chars"),
+        )
+    )
+    ten.repartition(CPUS).write.parquet(f"{TENX_DIR}/documents.parquet")
+
+
+def main() -> None:
+    from doclayout_yolo_spark.queries_text import (
+        _capped_shingles,
+        dedup_jaccard_lsh,
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+    from doclayout_yolo_spark.session import get_spark
+
+    try:
+        os.sched_setaffinity(0, range(CPUS))
+    except (AttributeError, OSError):
+        pass
+    spark = get_spark(
+        app="dedup_scale", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    spark.range(10).count()  # JVM warmup
+    build_10x(spark)
+
+    out: dict = {"base_sf_dir": BASE_SF, "tenx_dir": TENX_DIR, "cpus": CPUS}
+    for label, sf_dir in (("1x", BASE_SF), ("10x", TENX_DIR)):
+        rows = {
+            "docs": spark.read.parquet(f"{sf_dir}/documents.parquet").count(),
+            "shingle_rows": _capped_shingles(spark, sf_dir).count(),
+        }
+        timings = {}
+        for qname, fn in (
+            ("dedup_minhash_lsh", dedup_minhash_lsh),
+            ("dedup_jaccard_lsh", dedup_jaccard_lsh),
+            ("dedup_ngram_jaccard", dedup_ngram_jaccard),
+        ):
+            best, n_out = float("inf"), None
+            for _ in range(2):
+                t0 = time.time()
+                n_out = fn(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            timings[qname] = {"wall_s": round(best, 3), "out_pairs": n_out}
+        out[label] = {"rows": rows, "queries": timings}
+
+    ratios = {}
+    for q in out["1x"]["queries"]:
+        a, b = out["1x"]["queries"][q], out["10x"]["queries"][q]
+        ratios[q] = {
+            "wall_ratio": round(b["wall_s"] / max(a["wall_s"], 1e-9), 2),
+            "pairs_ratio": round(
+                b["out_pairs"] / max(a["out_pairs"], 1), 2
+            ),
+        }
+    ratios["shingle_rows_ratio"] = round(
+        out["10x"]["rows"]["shingle_rows"] / out["1x"]["rows"]["shingle_rows"], 2
+    )
+    out["scaling_10x_over_1x"] = ratios
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/dedup_scale.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
