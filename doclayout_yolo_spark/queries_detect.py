@@ -456,6 +456,65 @@ def extract_pdf_pages(spark, sf_dir):
     return out.select("url", "extracted_text", "n_regions", "n_blocks")
 
 
+def extract_pdf_pages_multipage(spark, sf_dir):
+    """Two-page PDF twin: page 1 carries the title + first half of the
+    body, page 2 the second half + a footer inside page 2's boilerplate
+    strip.  The parser lays pages out as a continuous scroll, so the
+    extracted text equals title + half1 + half2 — the oracle closed
+    form splits the text at the same midpoint token boundary."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def kernel(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from doclayout_yolo_spark.pdf import build_pdf_pages  # noqa: PLC0415
+
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                safe = str(text).encode("latin-1", "replace").decode("latin-1")
+                words = safe.split(" ")
+                mid = len(words) // 2
+                half1, half2 = " ".join(words[:mid]), " ".join(words[mid:])
+                urls.append(f"https://testdata.local/pdfmp/{int(doc_id)}.pdf")
+                htmls.append(
+                    build_pdf_pages(
+                        [
+                            [
+                                (f"Doc {int(doc_id)}", 24.0, 60.0, 80.0),
+                                (half1, 12.0, 60.0, 150.0),
+                            ],
+                            [
+                                (half2, 12.0, 60.0, 150.0),
+                                ("copyright example", 9.0, 60.0, 760.0),
+                            ],
+                        ],
+                        compress=True,
+                    )
+                )
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    pages = d.mapInPandas(kernel, schema="url string, html binary")
+    out = extract_pages(pages, n_buckets=64)
+    return out.select("url", "extracted_text", "n_regions", "n_blocks")
+
+
+PDF_MULTIPAGE_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '[^\x00-\xff]', '?', 'g'), ' ') AS w
+  FROM documents
+)
+SELECT 'https://testdata.local/pdfmp/' || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+         array_to_string(w[1 : LENGTH(w) // 2], ' ') || chr(10) || chr(10) ||
+         array_to_string(w[LENGTH(w) // 2 + 1 :], ' ') AS extracted_text,
+       CAST(3 AS INT) AS n_regions,
+       CAST(4 AS INT) AS n_blocks
+FROM s
+"""
+
+
 def extract_pdf_pages_compressed(spark, sf_dir):
     """FlateDecode twin of ``extract_pdf_pages``: pages are written
     with zlib-compressed content streams AND kerned ``TJ`` show arrays
@@ -636,6 +695,7 @@ DETECT_QUERIES = {
     "corpus_curation_pipeline": (corpus_curation_pipeline, CURATION_SQL),
     "extract_pdf_pages": (extract_pdf_pages, PDF_FLAGSHIP_SQL),
     "extract_pdf_pages_compressed": (extract_pdf_pages_compressed, PDF_FLAGSHIP_SQL),
+    "extract_pdf_pages_multipage": (extract_pdf_pages_multipage, PDF_MULTIPAGE_SQL),
     "extract_region_rows": (extract_region_rows, REGION_ROWS_SQL),
     "detection_map": (detection_map, _golden_sql("detection_map")),
     "det_confusion_matrix": (

@@ -127,6 +127,41 @@ FROM documents
 """
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, and single
+# punctuation marks — the GPT-2-style split that BPE merge tables
+# operate on (minus byte-level edge cases); the chars_per_token ratio
+# is the budget metric an LLM-data pipeline tracks per document.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_bpe(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(f"({_BPE_RE})"), 1)
+    n = F.size(toks).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("([A-Za-z]+)"), 1))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("([0-9]+)"), 1))
+        .cast("long")
+        .alias("n_num_tokens"),
+        F.round(F.length("text") / n.cast("double"), 6).alias("chars_per_token"),
+    )
+
+
+TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(LENGTH(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_tokens,
+       CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens,
+       CAST(LENGTH(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens,
+       ROUND(LENGTH(text) / CAST(LENGTH(regexp_extract_all(text, '{_BPE_RE}')) AS DOUBLE), 6)
+         AS chars_per_token
+FROM documents
+"""
+
+
 # --- language-ID heuristic (marker-word scoring + argmax) ---------------------
 
 _MARKERS = {
@@ -1251,6 +1286,7 @@ TEXT_QUERIES = {
     "tokenize_mixed_script": (tokenize_mixed_script, TOKENIZE_MIXED_SQL),
     "lang_id_cjk": (lang_id_cjk, LANG_ID_CJK_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
+    "token_count_bpe": (token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

@@ -697,6 +697,23 @@ def ann_ivf_nprobe2(spark, sf_dir):
     return _ivf_topk(_ivf_assigned(spark, sf_dir), nprobe=2)
 
 
+def ivf_centroid_update(spark, sf_dir):
+    """One Lloyd (k-means) iteration over the IVF assignment — the
+    'trained codebook' path: each cell's new centroid is the mean of
+    its member vectors.  Shape at scale: the assignment is the
+    map-side matmul kernel (zero exchange), the update is ONE partial-
+    aggregated groupBy over (cell, dim) — exactly how a codebook
+    trains on 10^9 vectors (iterate: collect the K x DIM result,
+    re-broadcast, repeat).  Output: (cell, dim, centroid)."""
+    a = _ivf_assigned(spark, sf_dir)
+    return (
+        a.select("cell", F.posexplode("vec").alias("dim", "x"))
+        .groupBy(F.col("cell").cast("int").alias("cell"),
+                 F.col("dim").cast("int").alias("dim"))
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+    )
+
+
 def ann_ivf_recall(spark, sf_dir):
     """MEASURED recall@k of IVF against the exact brute-force top-k
     (mirrors ann_lsh_multiband's measured-not-claimed methodology):
@@ -833,6 +850,314 @@ LEFT JOIN ivf i
 GROUP BY 1, 2
 """
 
+# --- product quantization (PQ) ANN ------------------------------------------------
+#
+# The third scale path next to LSH and IVF, and the one real 10^9+
+# vector systems ship: each vector is ENCODED as M small codes (one
+# nearest-codeword id per subspace), shrinking 64 doubles to 4 bytes;
+# queries score candidates with asymmetric distance computation (ADC)
+# — a per-query (M x KSUB) distance table plus M lookups per target,
+# never a full-dimension dot product.  Codebook = the first KSUB
+# vectors' subvectors (deterministic stand-in for a trained one, same
+# as IVF; ivf_centroid_update shows the training step).  Encoding is
+# map-side (one NumPy pass per Arrow batch, zero exchange — the
+# _ivf_assigned pattern); the ADC tables are dimension-sized and
+# broadcast.  Parity: every subspace distance is ROUND(.,6) in both
+# engines before argmin/summation, ties break to the lowest code id.
+
+PQ_M = 4          # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_KSUB = 16      # codewords per subspace (production uses 256)
+
+
+def _pq_codebook(spark, sf_dir) -> np.ndarray:
+    emb = _emb(spark, sf_dir).select("vec_id", "vec")
+    rows = sorted(
+        emb.filter(F.col("vec_id") < PQ_KSUB).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    # (KSUB, M, SUBDIM)
+    return np.array([r["vec"] for r in rows], dtype=np.float64).reshape(
+        PQ_KSUB, PQ_M, PQ_SUBDIM
+    )
+
+
+def _pq_encoded(emb, cb: np.ndarray):
+    """(vec_id, code_0..code_{M-1}): nearest codeword per subspace —
+    map-side, zero exchange.  ``emb`` must carry (vec_id, vec)."""
+
+    def kernel(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf["vec"].tolist(), dtype=np.float64).reshape(
+                -1, PQ_M, PQ_SUBDIM
+            )
+            out = {"vec_id": pdf["vec_id"].astype("int64")}
+            for m in range(PQ_M):
+                # (n, KSUB) rounded L2^2; argmin keeps the FIRST (=
+                # lowest code id) on ties, matching the oracle's
+                # ORDER BY d2, code_id
+                d2 = np.round(
+                    ((v[:, None, m, :] - cb[None, :, m, :]) ** 2).sum(-1), 6
+                )
+                out[f"code_{m}"] = d2.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(f"code_{m} int" for m in range(PQ_M))
+    return emb.mapInPandas(kernel, schema=schema)
+
+
+def _pq_adc_topk(spark, emb, cb: np.ndarray, query_rows):
+    """ADC scoring: per-query (M x KSUB) distance tables (dimension-
+    sized, broadcast) + M lookups per encoded target; exact window
+    top-k on the rounded sums."""
+    enc = _pq_encoded(emb, cb)
+    qrows = sorted(query_rows, key=lambda r: r["vec_id"])
+    qv = np.array([r["vec"] for r in qrows], dtype=np.float64).reshape(
+        len(qrows), PQ_M, PQ_SUBDIM
+    )
+    dt_rows = [
+        (
+            int(qrows[qi]["vec_id"]),
+            m,
+            c,
+            float(np.round(((qv[qi, m] - cb[c, m]) ** 2).sum(), 6)),
+        )
+        for qi in range(len(qrows))
+        for m in range(PQ_M)
+        for c in range(PQ_KSUB)
+    ]
+    dt = spark.createDataFrame(
+        dt_rows, schema="query_id long, m int, code int, d2 double"
+    )
+    exploded = enc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode(F.array(*[F.col(f"code_{m}") for m in range(PQ_M)])).alias(
+            "m", "code"
+        ),
+    )
+    scored = (
+        exploded.join(F.broadcast(dt), ["m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), 6).alias("approx_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+    )
+
+
+def ann_pq_topk(spark, sf_dir):
+    """PQ/ADC top-k: rank every encoded target by the sum of its M
+    table-lookup distances to each query.  Output one row per
+    (query, rank<=k): (query_id, neighbor_id, approx_dist, rank)."""
+    cb = _pq_codebook(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select("vec_id", "vec")
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    return _pq_adc_topk(spark, emb, cb, qrows)
+
+
+def ann_pq_planted_recall(spark, sf_dir):
+    """MEASURED planted-pair recall of PQ (the dedup workload): the
+    corpus gains a jittered twin (cosine ~0.95) of each of the first
+    PLANT_N vectors; a near-dup encodes to (nearly) the same codes as
+    its base, so ADC must surface it.  Output one row per planted pair
+    with whether the twin appeared in the base vector's PQ top-k.
+    (On this random-uniform corpus exact-L2 recall — ann_pq_recall —
+    is honestly low: 16 untrained codewords per subspace quantize
+    coarsely, so unrelated random vectors are indistinguishable; the
+    near-dup signal is what survives quantization, and that is the
+    100 TB dedup use case.)"""
+    cb = _pq_codebook(spark, sf_dir)  # first-KSUB base vectors: twins don't alter it
+    allv = _planted_emb(spark, sf_dir)
+    qrows = allv.filter(F.col("vec_id") < PLANT_N).collect()
+    pq = _pq_adc_topk(spark, allv, cb, qrows).select("query_id", "neighbor_id")
+    truth = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < PLANT_N)
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            (F.col("vec_id") + PLANT_OFFSET).alias("vec_b"),
+        )
+    )
+    return (
+        truth.join(
+            pq,
+            (truth["vec_a"] == pq["query_id"]) & (truth["vec_b"] == pq["neighbor_id"]),
+            "left",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.when(pq["neighbor_id"].isNull(), 0)
+            .otherwise(1)
+            .cast("long")
+            .alias("caught"),
+        )
+    )
+
+
+def ann_pq_recall(spark, sf_dir):
+    """MEASURED recall@k of PQ/ADC against the exact L2 top-k (the
+    apples-to-apples truth for PQ's L2 distances): one row per query
+    with hit count and recall fraction."""
+    emb = _emb(spark, sf_dir).select("vec_id", "vec")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    t = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("tvec"))
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with("qvec", "tvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    truth = (
+        q.crossJoin(t)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", l2.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", F.col("neighbor_id").alias("true_neighbor"))
+    )
+    pq = ann_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        truth.join(
+            pq,
+            (truth["query_id"] == pq["query_id"])
+            & (truth["true_neighbor"] == pq["neighbor_id"]),
+            "left",
+        )
+        .groupBy(truth["query_id"].alias("query_id"))
+        .agg(F.count(pq["neighbor_id"]).cast("long").alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            F.round(F.col("n_hit") / F.lit(float(TOPK)), 6).alias("recall"),
+        )
+    )
+
+
+_PQ_SUBDIST = (
+    "ROUND(list_sum([({a}[i + 1] - {b}[i + 1]) * ({a}[i + 1] - {b}[i + 1])"
+    f" FOR i IN range({PQ_SUBDIM})]), 6)"
+)
+
+def _pq_ctes_duck(src: str, n_queries: int) -> str:
+    """The sub/cb/enc/dt/scored CTE chain over source CTE ``src``."""
+    return f"""sub AS (
+  SELECT vec_id, m, vec[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+  FROM {src}, range({PQ_M}) ms(m)
+),
+cb AS (SELECT vec_id AS code_id, m, sv AS cv FROM sub WHERE vec_id < {PQ_KSUB}),
+enc AS (
+  SELECT vec_id, m, code_id FROM (
+    SELECT s.vec_id, s.m, c.code_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_PQ_SUBDIST.format(a="s.sv", b="c.cv")} ASC, c.code_id ASC
+           ) AS rn
+    FROM sub s JOIN cb c ON s.m = c.m
+  ) WHERE rn = 1
+),
+dt AS (
+  SELECT q.vec_id AS query_id, c.m, c.code_id,
+         {_PQ_SUBDIST.format(a="q.sv", b="c.cv")} AS d2
+  FROM sub q JOIN cb c ON q.m = c.m
+  WHERE q.vec_id < {n_queries}
+),
+scored AS (
+  SELECT dt.query_id, enc.vec_id AS neighbor_id,
+         ROUND(SUM(dt.d2), 6) AS approx_dist
+  FROM enc JOIN dt ON enc.m = dt.m AND enc.code_id = dt.code_id
+  WHERE enc.vec_id <> dt.query_id
+  GROUP BY 1, 2
+)"""
+
+
+_E_CTE = "e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)"
+
+_PQ_TOPK_SELECT = f"""
+SELECT query_id, neighbor_id, approx_dist, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+ANN_PQ_SQL = f"""
+WITH {_E_CTE},
+{_pq_ctes_duck("e", N_QUERIES)}
+{_PQ_TOPK_SELECT}
+"""
+
+_PQ_TOPK_CTE = f"""pq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {TOPK}
+)"""
+
+ANN_PQ_PLANTED_SQL = f"""
+WITH {_E_CTE},
+allv AS (
+  SELECT vec_id, vec FROM e
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id, {_JITTER_DUCK} AS vec
+  FROM e WHERE vec_id < {PLANT_N}
+),
+{_pq_ctes_duck("allv", PLANT_N)},
+{_PQ_TOPK_CTE}
+SELECT t.vec_a, t.vec_b,
+       CAST(CASE WHEN pq.neighbor_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS caught
+FROM (SELECT vec_id AS vec_a, vec_id + {PLANT_OFFSET} AS vec_b
+      FROM e WHERE vec_id < {PLANT_N}) t
+LEFT JOIN pq ON pq.query_id = t.vec_a AND pq.neighbor_id = t.vec_b
+"""
+
+ANN_PQ_RECALL_SQL = f"""
+WITH {_E_CTE},
+{_pq_ctes_duck("e", N_QUERIES)},
+{_PQ_TOPK_CTE},
+truth AS (
+  SELECT query_id, neighbor_id AS true_neighbor FROM (
+    SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_sum(
+               [(q.vec[i + 1] - t.vec[i + 1]) * (q.vec[i + 1] - t.vec[i + 1])
+                FOR i IN range({DIM})]), 6) ASC, t.vec_id ASC) AS rank
+    FROM e q JOIN e t ON q.vec_id < {N_QUERIES} AND q.vec_id <> t.vec_id
+  ) WHERE rank <= {TOPK}
+)
+SELECT tr.query_id, CAST(COUNT(pq.neighbor_id) AS BIGINT) AS n_hit,
+       ROUND(COUNT(pq.neighbor_id) / CAST({TOPK} AS DOUBLE), 6) AS recall
+FROM truth tr
+LEFT JOIN pq ON pq.query_id = tr.query_id AND pq.neighbor_id = tr.true_neighbor
+GROUP BY 1
+"""
+
+
+IVF_CENTROID_SQL = f"""
+{_IVF_RANKED},
+member_dims AS (
+  SELECT assigned.cell, dims.d, assigned.vec[dims.d + 1] AS x
+  FROM assigned, range({DIM}) dims(d)
+)
+SELECT CAST(cell AS INT) AS cell, CAST(d AS INT) AS dim,
+       ROUND(AVG(x), 6) AS centroid
+FROM member_dims GROUP BY 1, 2
+"""
+
 
 VECTOR_QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
@@ -846,4 +1171,8 @@ VECTOR_QUERIES = {
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "ann_ivf_nprobe2": (ann_ivf_nprobe2, ANN_IVF2_SQL),
     "ann_ivf_recall": (ann_ivf_recall, ANN_IVF_RECALL_SQL),
+    "ivf_centroid_update": (ivf_centroid_update, IVF_CENTROID_SQL),
+    "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
+    "ann_pq_recall": (ann_pq_recall, ANN_PQ_RECALL_SQL),
+    "ann_pq_planted_recall": (ann_pq_planted_recall, ANN_PQ_PLANTED_SQL),
 }
