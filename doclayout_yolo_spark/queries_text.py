@@ -563,6 +563,146 @@ WHERE ROUND(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) >= {JACCARD_TH
 JACCARD_LSH_SQL = JACCARD_LSH_SQL.format(mins=_MINS_DUCK, bands=_BANDS_DUCK)
 
 
+# --- eval-set decontamination -------------------------------------------------
+#
+# Before training, every serious pipeline removes documents that
+# overlap the evaluation sets (n-gram collision — the GPT-3/PaLM
+# decontamination recipe).  Eval set here: the first N_EVAL_DOCS
+# documents.  A training doc is contaminated if it shares ANY 3-gram
+# shingle with an eval doc.  Scale shape: the eval shingle set is
+# tiny and broadcast — contamination is ONE map-side semi-join over
+# the corpus shingles, no wide shuffle.
+
+N_EVAL_DOCS = 10
+
+
+def decontaminate_against_eval(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    eval_sh = (
+        sh.filter(F.col("doc_id") < N_EVAL_DOCS).select("sh").distinct()
+    )
+    train = sh.filter(F.col("doc_id") >= N_EVAL_DOCS)
+    hits = (
+        train.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_shingles"))
+    )
+    all_train = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") >= N_EVAL_DOCS)
+        .select("doc_id")
+    )
+    return all_train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shared_shingles"), F.lit(0)).alias("n_shared_shingles"),
+        F.when(F.col("n_shared_shingles").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("contaminated"),
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH all_sh AS ({_SHINGLES_DUCK}),
+eval_sh AS (SELECT DISTINCT sh FROM all_sh WHERE doc_id < {N_EVAL_DOCS}),
+hits AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+  FROM all_sh t JOIN eval_sh e ON t.sh = e.sh
+  WHERE t.doc_id >= {N_EVAL_DOCS}
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(h.n_shared_shingles, 0) AS n_shared_shingles,
+       CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id >= {N_EVAL_DOCS}
+"""
+
+
+# --- PII redaction --------------------------------------------------------------
+#
+# Synthetic PII is injected deterministically IN BOTH ENGINES (an
+# email and, for every third doc, a phone number), then scrubbed with
+# the shared patterns — the redaction pass every released corpus
+# runs.  All JVM-side regexp_replace; counts prove the scrub found
+# exactly what was planted.
+
+_PII_TEXT = (
+    "text || ' contact user' || CAST(doc_id AS {str_t}) || '@mail.example.org'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' call 555-0199' ELSE '' END"
+)
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    dirty = F.expr(_PII_TEXT.format(str_t="STRING"))
+    clean = F.regexp_replace(
+        F.regexp_replace(dirty, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(dirty, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(clean).alias("clean_fingerprint"),
+    )
+
+
+REDACT_SQL = f"""
+WITH dirty AS (
+  SELECT doc_id, {_PII_TEXT.format(str_t="VARCHAR")} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(LENGTH(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(LENGTH(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g')) AS clean_fingerprint
+FROM dirty
+"""
+
+
+# --- duplicate-line fraction (Gopher quality signal) -----------------------------
+
+
+def dup_sentence_fraction(spark, sf_dir):
+    """Gopher's duplicate-line-fraction analog over sentence units
+    (the fixture text is single-line): fraction of sentences that are
+    repeats of an earlier sentence in the same document.  A high value
+    flags template/boilerplate pages that survive exact dedup."""
+    d = _docs(spark, sf_dir)
+    sents = (
+        "filter(transform(split(text, '[.]'), s -> trim(s)),"
+        " s -> char_length(s) > 0)"
+    )
+    return d.selectExpr(
+        "doc_id",
+        f"size({sents}) AS n_sents",
+        f"size(array_distinct({sents})) AS n_uniq",
+    ).select(
+        "doc_id",
+        F.col("n_sents").cast("long").alias("n_sents"),
+        F.round(
+            (F.col("n_sents") - F.col("n_uniq")) / F.col("n_sents").cast("double"),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+DUP_SENT_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter([trim(x) FOR x IN string_split_regex(text, '[.]')],
+                     x -> LENGTH(x) > 0) AS sents
+  FROM documents
+)
+SELECT doc_id, CAST(LENGTH(sents) AS BIGINT) AS n_sents,
+       ROUND((LENGTH(sents) - LENGTH(list_distinct(sents)))
+             / CAST(LENGTH(sents) AS DOUBLE), 6) AS dup_fraction
+FROM s
+"""
+
+
 # --- SimHash fingerprint (16-bit) ------------------------------------------------
 
 SIMHASH_BITS = 16
@@ -628,7 +768,7 @@ SELECT doc_id, CAST({_SIM_VAL} AS BIGINT) AS simhash FROM sums
 # --- TF-IDF top terms per document -------------------------------------------------
 
 TFIDF_TOPK = 3
-HOT_TERM_HEAD = 1024  # df-table head broadcast to kill term-key skew
+N_TERM_SALTS = 8  # spread each hot term over this many reducers
 
 
 def tfidf_top_terms(spark, sf_dir):
@@ -636,14 +776,18 @@ def tfidf_top_terms(spark, sf_dir):
     relevance weighting as two aggregations and a document-frequency
     join.
 
-    Skew handling: the tf->df join is keyed by term, and term
-    frequency is Zipfian — stopword-grade hot terms would concentrate
-    on single reducers at corpus scale.  The HOT_TERM_HEAD highest-df
-    terms (which carry most of the row mass) are broadcast and joined
-    MAP-SIDE; only the long de-hotted tail shuffles by term.  Both
-    branches read the same tf/df aggregation subtrees, so the shuffle
-    files are written once and reused (ReuseExchange).  Output is
-    identical to the plain join — the oracle is unchanged."""
+    Scale shape: ``df`` is DERIVED from ``tf`` (tf rows are already
+    distinct (doc, term) pairs, so df = count per term) — one
+    tokenize+explode subtree instead of two (round 3's first cut
+    joined a broadcast hot-head + shuffled tail, but the two branches
+    re-executed the whole words subtree: 6 scans, no ReuseExchange).
+    The tf->df join is keyed by term and term frequency is Zipfian, so
+    the join is SALTED: the df side replicates each term N_TERM_SALTS
+    times, the tf side keys on (term, hash(doc) % N_TERM_SALTS), and
+    every stopword-grade hot term spreads over N_TERM_SALTS reducers
+    instead of funneling into one.  Replication cost is
+    vocabulary-sized (<< corpus-sized tf).  Output is identical to the
+    unsalted join — the oracle is unchanged."""
     d = _docs(spark, sf_dir)
     # corpus size as a broadcast 1-row aggregate (keeps the query lazy —
     # no driver-side action inside the builder)
@@ -652,19 +796,21 @@ def tfidf_top_terms(spark, sf_dir):
         "doc_id", F.explode(F.expr(_toks_spark("text"))).alias("term")
     )
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = words.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    salts = F.array(*[F.lit(i) for i in range(N_TERM_SALTS)])
+    df_salted = df.withColumn("salt", F.explode(salts))
+    tf_salted = tf.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(N_TERM_SALTS)).cast("int")
     )
-    hot = df.orderBy(F.desc("df"), F.asc("term")).limit(HOT_TERM_HEAD)
-    cold = df.join(F.broadcast(hot.select("term")), "term", "left_anti")
-    joined = tf.join(F.broadcast(hot), "term").unionByName(
-        tf.join(cold, "term")
-    )
-    scored = joined.crossJoin(F.broadcast(n)).select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
-        .alias("tfidf"),
+    scored = (
+        tf_salted.join(df_salted, ["term", "salt"])
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+            .alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
@@ -1287,6 +1433,9 @@ TEXT_QUERIES = {
     "lang_id_cjk": (lang_id_cjk, LANG_ID_CJK_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "token_count_bpe": (token_count_bpe, TOKEN_COUNT_BPE_SQL),
+    "decontaminate_against_eval": (decontaminate_against_eval, DECONTAMINATE_SQL),
+    "redact_pii": (redact_pii, REDACT_SQL),
+    "dup_sentence_fraction": (dup_sentence_fraction, DUP_SENT_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

@@ -126,13 +126,17 @@ def test_stratified_sample_prefilters_before_window(spark):
     assert plan.index("MapInPandas") > plan.index("Exchange")  # tree prints top-down
 
 
-def test_tfidf_hot_terms_join_is_broadcast(spark):
-    # the Zipfian head of the df table must ride a BroadcastHashJoin
-    # (map-side); only the de-hotted tail may shuffle by term
+def test_tfidf_join_is_salted_and_single_subtree(spark):
+    # Zipfian term skew: the tf->df join must key on (term, salt) so
+    # hot terms spread over N_TERM_SALTS reducers; and df must derive
+    # from tf (one tokenize subtree — the documents scan appears at
+    # most twice, never the 6x of the round-3 first cut)
     from doclayout_yolo_spark.queries_text import tfidf_top_terms
 
     plan = plan_of(tfidf_top_terms(spark, SF_DIR), "simple")
-    assert "BroadcastHashJoin" in plan
+    assert "salt" in plan
+    # tf subtree (x2: scored + df-derivation) + the 1-row corpus count
+    assert plan.count("FileScan parquet") <= 3
 
 
 def test_pq_encoding_has_no_exchange(spark):
