@@ -53,7 +53,10 @@ _STREAMOBJ_RE = re.compile(
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
-_BT_RE = re.compile(rb"BT(.*?)ET", re.S)
+# string-aware text-object match: the body consumes complete literal
+# strings atomically, so 'ET' (or 'BT') INSIDE a shown string can never
+# terminate the object early
+_BT_RE = re.compile(rb"BT((?:\((?:\\.|[^\\()])*\)|(?!ET).)*?)ET", re.S)
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
 _PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
@@ -125,33 +128,87 @@ def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes | None:
     return body
 
 
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)+)\s*\]")
+_PAGES_TYPE_RE = re.compile(rb"/Type\s*/Pages\b")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+
+
+def _objstm_members(dict_bytes: bytes, data: bytes) -> dict[int, bytes]:
+    """Embedded objects of a decoded /ObjStm body (ISO 32000-1 §7.5.7):
+    header = N (objnum, offset) integer pairs, bodies start at /First."""
+    nm, fm = _N_RE.search(dict_bytes), _FIRST_RE.search(dict_bytes)
+    if nm is None or fm is None:
+        return {}
+    n, first = int(nm.group(1)), int(fm.group(1))
+    header = data[:first].split()
+    if len(header) < 2 * n:
+        return {}
+    out: dict[int, bytes] = {}
+    nums = [int(header[2 * i]) for i in range(n)]
+    offs = [int(header[2 * i + 1]) for i in range(n)]
+    for i in range(n):
+        end = first + offs[i + 1] if i + 1 < n else len(data)
+        out[nums[i]] = data[first + offs[i] : end]
+    return out
+
+
 def _content_streams(raw: bytes) -> list[bytes]:
     """Decoded content-stream bodies in page order.
 
-    Resolves the page tree: each ``/Type /Page`` object's ``/Contents``
-    reference, in document order, maps to one entry.  Falls back to
-    every decodable stream in file order when no page objects resolve
-    (fragmentary fixtures, damaged xref)."""
+    Resolves the page tree — including page dicts stored inside
+    compressed /ObjStm object streams (the PDF 1.5+ layout most modern
+    writers emit): pages ordered by the /Pages node's /Kids when
+    present, else document order; each page's /Contents reference maps
+    to one entry.  Falls back to every decodable stream in file order
+    when no page objects resolve (fragmentary fixtures, damaged xref)."""
     streams_by_obj: dict[int, bytes | None] = {}
-    page_content_objs: list[int] = []
+    dict_objs: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(raw):
         num, body = int(m.group(1)), m.group(2)
         sm = _STREAMOBJ_RE.search(body)
-        if sm is not None:
-            streams_by_obj[num] = _decode_stream(sm.group("dict"), sm.group("body"))
-        elif _PAGE_TYPE_RE.search(body):
-            cm = _CONTENTS_RE.search(body)
-            if cm is not None:
-                page_content_objs.append(int(cm.group(1)))
+        if sm is None:
+            dict_objs[num] = body
+            continue
+        decoded = _decode_stream(sm.group("dict"), sm.group("body"))
+        if decoded is not None and _OBJSTM_RE.search(sm.group("dict")):
+            dict_objs.update(_objstm_members(sm.group("dict"), decoded))
+        else:
+            streams_by_obj[num] = decoded
+    # page order: /Kids of the /Pages node when resolvable, else the
+    # document order of /Type /Page dicts
+    page_nums: list[int] = []
+    for body in dict_objs.values():
+        if _PAGES_TYPE_RE.search(body):
+            km = _KIDS_RE.search(body)
+            if km is not None:
+                page_nums = [int(r) for r in _REF_RE.findall(km.group(1))]
+                break
+    if not page_nums:
+        page_nums = [
+            num for num, body in dict_objs.items() if _PAGE_TYPE_RE.search(body)
+        ]
+    page_content_objs: list[int] = []
+    for num in page_nums:
+        body = dict_objs.get(num)
+        if body is None:
+            continue
+        cm = _CONTENTS_RE.search(body)
+        if cm is not None:
+            page_content_objs.append(int(cm.group(1)))
     if page_content_objs and all(n in streams_by_obj for n in page_content_objs):
         return [
             streams_by_obj[n]
             for n in page_content_objs
             if streams_by_obj[n] is not None
         ]
-    # fallback: every stream in the file, one logical page
+    # fallback: every non-ObjStm stream in the file, one logical page
     out = []
     for sm in _STREAMOBJ_RE.finditer(raw):
+        if _OBJSTM_RE.search(sm.group("dict")):
+            continue
         body = _decode_stream(sm.group("dict"), sm.group("body"))
         if body is not None:
             out.append(body)
@@ -296,51 +353,105 @@ def _show_ops(text: str, size: float, x: float, y_pdf: float, style: str) -> str
     return f"{head} ({_escape(text)}) Tj ET"
 
 
+def _stream_obj(content: bytes, compress: bool, extra: bytes = b"") -> bytes:
+    if compress:
+        data = zlib.compress(content, 6)
+        filt = b" /Filter /FlateDecode"
+    else:
+        data, filt = content, b""
+    # /Length counts ONLY the stream data; the EOL before 'endstream'
+    # is a separator the spec excludes (ISO 32000-1 §7.3.8.2)
+    return b"<< /Length %d%s%s >>\nstream\n%s\nendstream" % (
+        len(data), filt, extra, data,
+    )
+
+
 def build_pdf_pages(
     pages: list[list[tuple[str, float, float, float]]],
     page_w: float = DEFAULT_PAGE_W,
     page_h: float = DEFAULT_PAGE_H,
     compress: bool = False,
     style: str = "Tj",
+    objstm: bool = False,
 ) -> bytes:
     """pages: one list of (string, font_size, x, y_top) per page ->
     valid PDF bytes with a real page tree, per-page content streams
     (FlateDecode-compressed when ``compress``), and a correct xref
     table.  ``y_top`` is top-left-origin; converted to the PDF baseline
-    here so the parser's inverse conversion round-trips."""
+    here so the parser's inverse conversion round-trips.
+
+    ``objstm=True`` emits the PDF 1.5+ layout: catalog, page tree, and
+    page dicts packed into one FlateDecode /ObjStm object stream
+    (ISO 32000-1 §7.5.7) — the shape modern writers produce — with the
+    content streams as regular objects."""
     n = len(pages)
-    # obj numbering: 1 catalog, 2 pages, 3 font, then (page, content)*
-    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
-    objs: list[bytes] = [
-        b"<< /Type /Catalog /Pages 2 0 R >>",
-        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
-    ]
-    for i, texts in enumerate(pages):
-        objs.append(
-            (
-                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w:g} {page_h:g}]"
-                f" /Contents {5 + 2 * i} 0 R"
-                f" /Resources << /Font << /F1 3 0 R >> >> >>"
-            ).encode()
-        )
+    contents: list[bytes] = []
+    for texts in pages:
         ops = [
             _show_ops(text, size, x, page_h - y_top - size, style)
             for text, size, x, y_top in texts
         ]
-        content = "\n".join(ops).encode("latin-1")
-        if compress:
-            data = zlib.compress(content, 6)
-            filt = b" /Filter /FlateDecode"
-        else:
-            data, filt = content, b""
-        # /Length counts ONLY the stream data; the EOL before
-        # 'endstream' is a separator the spec excludes (ISO 32000-1
-        # §7.3.8.2)
-        objs.append(
-            b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(data), filt, data)
-        )
-    out = bytearray(b"%PDF-1.4\n")
+        contents.append("\n".join(ops).encode("latin-1"))
+
+    if objstm:
+        # regular objs: 1 = ObjStm, 2..n+1 = content streams; embedded
+        # (inside the ObjStm): 100 catalog, 101 pages, 102 font,
+        # 103+i page dicts
+        kids = " ".join(f"{103 + i} 0 R" for i in range(n))
+        embedded: list[tuple[int, bytes]] = [
+            (100, b"<< /Type /Catalog /Pages 101 0 R >>"),
+            (101, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()),
+            (102, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        ]
+        for i in range(n):
+            embedded.append(
+                (
+                    103 + i,
+                    (
+                        f"<< /Type /Page /Parent 101 0 R"
+                        f" /MediaBox [0 0 {page_w:g} {page_h:g}]"
+                        f" /Contents {2 + i} 0 R"
+                        f" /Resources << /Font << /F1 102 0 R >> >> >>"
+                    ).encode(),
+                )
+            )
+        bodies = [b for _, b in embedded]
+        offs, pos = [], 0
+        for b in bodies:
+            offs.append(pos)
+            pos += len(b) + 1
+        header = " ".join(
+            f"{num} {off}" for (num, _), off in zip(embedded, offs)
+        ).encode() + b"\n"
+        stm_data = header + b"\n".join(bodies) + b"\n"
+        objs = [
+            _stream_obj(
+                stm_data,
+                compress=True,
+                extra=b" /Type /ObjStm /N %d /First %d" % (len(embedded), len(header)),
+            )
+        ]
+        objs += [_stream_obj(c, compress) for c in contents]
+        root = b"100 0 R"
+    else:
+        # obj numbering: 1 catalog, 2 pages, 3 font, then (page, content)*
+        kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ]
+        for i, texts in enumerate(pages):
+            objs.append(
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w:g} {page_h:g}]"
+                    f" /Contents {5 + 2 * i} 0 R"
+                    f" /Resources << /Font << /F1 3 0 R >> >> >>"
+                ).encode()
+            )
+            objs.append(_stream_obj(contents[i], compress))
+        root = b"1 0 R"
+    out = bytearray(b"%PDF-1.5\n" if objstm else b"%PDF-1.4\n")
     offsets = []
     for i, body in enumerate(objs, start=1):
         offsets.append(len(out))
@@ -351,8 +462,8 @@ def build_pdf_pages(
     for off in offsets:
         out += b"%010d 00000 n \n" % off
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, xref_at)
+        b"trailer\n<< /Size %d /Root %s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, root, xref_at)
     )
     return bytes(out)
 
@@ -363,6 +474,7 @@ def build_pdf(
     page_h: float = DEFAULT_PAGE_H,
     compress: bool = False,
     style: str = "Tj",
+    objstm: bool = False,
 ) -> bytes:
     """Single-page convenience wrapper over :func:`build_pdf_pages`."""
-    return build_pdf_pages([texts], page_w, page_h, compress, style)
+    return build_pdf_pages([texts], page_w, page_h, compress, style, objstm)

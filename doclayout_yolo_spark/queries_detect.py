@@ -407,7 +407,7 @@ def refine_region_scores(spark, sf_dir):
     return refine_regions(out)
 
 
-def _pdf_pages_from_documents(spark, sf_dir, compress=False, style="Tj"):
+def _pdf_pages_from_documents(spark, sf_dir, compress=False, style="Tj", objstm=False):
     """Wrap documents rows into minimal single-page PDFs (title at
     24pt, body at 12pt, footer in the boilerplate strip) — the PDF
     twin of ``_pages_from_documents``.  ``compress``/``style`` select
@@ -438,6 +438,7 @@ def _pdf_pages_from_documents(spark, sf_dir, compress=False, style="Tj"):
                         ],
                         compress=compress,
                         style=style,
+                        objstm=objstm,
                     )
                 )
             yield pd.DataFrame({"url": urls, "html": htmls})
@@ -533,6 +534,77 @@ SELECT 'https://testdata.local/pdf/' || CAST(doc_id AS VARCHAR) || '.pdf' AS url
          regexp_replace(text, '[^\x00-\xff]', '?', 'g') AS extracted_text,
        CAST(2 AS INT) AS n_regions,
        CAST(3 AS INT) AS n_blocks
+FROM documents
+"""
+
+
+def extract_pdf_pages_objstm(spark, sf_dir):
+    """PDF 1.5 object-stream twin: page dicts live inside a
+    FlateDecode /ObjStm (the layout most modern PDF writers emit);
+    extraction must be byte-identical to the classic-layout flagship,
+    so the oracle closed form is shared."""
+    pages = _pdf_pages_from_documents(spark, sf_dir, compress=True, objstm=True)
+    out = extract_pages(pages, n_buckets=64)
+    return out.select("url", "extracted_text", "n_regions", "n_blocks")
+
+
+def extract_quarantine_stats(spark, sf_dir):
+    """Poisoned-input robustness through the full pipeline: every 7th
+    document becomes a corrupt PDF (valid header, undecodable
+    FlateDecode stream).  The kernel must degrade it to an empty
+    extraction — never fail the task (P9 quarantine; at 10^12 docs a
+    one-in-a-billion poison would otherwise kill whole partitions).
+    Output: per url, whether extraction produced text and the block
+    count — closed-form oracle on the planting rule."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    CORRUPT = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 8 /Filter /FlateDecode >>\n"
+        b"stream\nBADBYTES\nendstream\nendobj\n"
+    )
+
+    def kernel(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from doclayout_yolo_spark.pdf import build_pdf  # noqa: PLC0415
+
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                urls.append(f"https://testdata.local/q/{int(doc_id)}")
+                if int(doc_id) % 7 == 0:
+                    htmls.append(CORRUPT)
+                else:
+                    safe = str(text).encode("latin-1", "replace").decode("latin-1")
+                    htmls.append(
+                        build_pdf(
+                            [
+                                (f"Doc {int(doc_id)}", 24.0, 60.0, 80.0),
+                                (safe, 12.0, 60.0, 150.0),
+                                ("copyright example", 9.0, 60.0, 760.0),
+                            ],
+                            compress=True,
+                        )
+                    )
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    pages = d.mapInPandas(kernel, schema="url string, html binary")
+    out = extract_pages(pages, n_buckets=64)
+    return out.select(
+        "url",
+        F.when(F.length("extracted_text") > 0, 1).otherwise(0)
+        .cast("int")
+        .alias("extracted_ok"),
+        F.col("n_blocks").cast("int").alias("n_blocks"),
+        F.col("error").isNotNull().cast("int").alias("hard_error"),
+    )
+
+
+QUARANTINE_SQL = """
+SELECT 'https://testdata.local/q/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS INT) AS extracted_ok,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 3 END AS INT) AS n_blocks,
+       CAST(0 AS INT) AS hard_error
 FROM documents
 """
 
@@ -696,6 +768,8 @@ DETECT_QUERIES = {
     "extract_pdf_pages": (extract_pdf_pages, PDF_FLAGSHIP_SQL),
     "extract_pdf_pages_compressed": (extract_pdf_pages_compressed, PDF_FLAGSHIP_SQL),
     "extract_pdf_pages_multipage": (extract_pdf_pages_multipage, PDF_MULTIPAGE_SQL),
+    "extract_quarantine_stats": (extract_quarantine_stats, QUARANTINE_SQL),
+    "extract_pdf_pages_objstm": (extract_pdf_pages_objstm, PDF_FLAGSHIP_SQL),
     "extract_region_rows": (extract_region_rows, REGION_ROWS_SQL),
     "detection_map": (detection_map, _golden_sql("detection_map")),
     "det_confusion_matrix": (

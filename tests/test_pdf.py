@@ -126,6 +126,37 @@ def test_quote_td_tc_tw_operators():
     )
 
 
+@pytest.mark.parametrize("compress", [False, True])
+def test_objstm_layout_equals_classic(compress):
+    # PDF 1.5 object streams: page dicts packed into a FlateDecode
+    # /ObjStm must extract byte-identically to the classic layout
+    plain = extract_document(build_pdf(_DEMO))
+    via_objstm = extract_document(
+        build_pdf(_DEMO, compress=compress, objstm=True)
+    )
+    assert via_objstm == plain
+
+
+def test_objstm_multipage_kids_order():
+    from doclayout_yolo_spark.pdf import build_pdf_pages, parse_pdf_blocks
+
+    pdf = build_pdf_pages(
+        [
+            [("Page one body", 12.0, 60.0, 150.0)],
+            [("Page two body", 12.0, 60.0, 150.0)],
+            [("Page three body", 12.0, 60.0, 150.0)],
+        ],
+        objstm=True,
+        compress=True,
+    )
+    blocks, _, total_h = parse_pdf_blocks(pdf)
+    assert total_h == pytest.approx(3 * 792.0)
+    assert [b.text for b in blocks] == [
+        "Page one body", "Page two body", "Page three body",
+    ]
+    assert blocks[2].y1 == pytest.approx(2 * 792.0 + 150.0)
+
+
 def test_multipage_continuous_scroll():
     from doclayout_yolo_spark.pdf import build_pdf_pages, parse_pdf_blocks
 
