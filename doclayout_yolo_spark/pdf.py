@@ -73,6 +73,7 @@ _TOKEN_RE = re.compile(
     rb"|(?P<tw>[-\d.]+)\s+Tw"
     rb"|(?P<tstar>T\*)"
     rb"|\((?P<text>(?:\\.|[^\\()])*)\)\s*(?P<showop>Tj|')"
+    rb"|<(?P<hextext>[0-9A-Fa-f\s]*)>\s*(?P<hexop>Tj|')"
     rb"|\[(?P<tjarr>(?:\((?:\\.|[^\\()])*\)|[-\d.]+|\s+)*)\]\s*TJ"
 )
 _TJ_ITEM_RE = re.compile(rb"\((?P<s>(?:\\.|[^\\()])*)\)|(?P<n>[-\d.]+)")
@@ -269,15 +270,25 @@ def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
                     word_sp = float(tok.group("tw"))
                 elif tok.group("tstar") is not None:
                     y -= leading
-                elif tok.group("text") is not None:
-                    if tok.group("showop") == b"'":  # ' = T* then show
+                elif tok.group("text") is not None or tok.group("hextext") is not None:
+                    is_hex = tok.group("hextext") is not None
+                    op = tok.group("hexop") if is_hex else tok.group("showop")
+                    if op == b"'":  # ' = T* then show
                         y -= leading
                     if first_pos is None:
                         first_pos = (x, y)
                         first_size = size
                         first_char_sp, first_word_sp = char_sp, word_sp
                     last_y = y
-                    parts.append(_unescape(tok.group("text")))
+                    if is_hex:
+                        # hex string (ISO 32000-1 §7.3.4.3): whitespace
+                        # ignored, odd trailing digit padded with 0
+                        h = re.sub(rb"\s", b"", tok.group("hextext"))
+                        if len(h) % 2:
+                            h += b"0"
+                        parts.append(bytes.fromhex(h.decode("ascii")).decode("latin-1"))
+                    else:
+                        parts.append(_unescape(tok.group("text")))
                 elif tok.group("tjarr") is not None:
                     if first_pos is None:
                         first_pos = (x, y)
@@ -343,6 +354,8 @@ def _show_ops(text: str, size: float, x: float, y_pdf: float, style: str) -> str
     if style == "TJ":
         arr = " -250 ".join(f"({_escape(w)})" for w in text.split(" "))
         return f"{head} [{arr}] TJ ET"
+    if style == "hex":
+        return f"{head} <{text.encode('latin-1', 'replace').hex()}> Tj ET"
     if style == "Tstar":
         words = text.split(" ")
         body = f" ({_escape(words[0])}) Tj"

@@ -84,6 +84,21 @@ def start_extraction_stream(
     return writer.start()
 
 
+def enriched_pages_stream(
+    pages_stream: DataFrame, host_labels: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch broadcast-joins
+    the (static, dimension-sized) host-label table — crawl metadata,
+    robots policy, language priors — onto the page stream by host.
+    Stream-static joins are stateless in Structured Streaming (the
+    static side is re-broadcast per batch, no state store), so this
+    costs nothing at 10^12 urls.  Unmatched hosts keep flowing with a
+    NULL label (left join): enrichment must never drop pages."""
+    host = F.regexp_extract(F.col("url"), r"https?://([^/:?]+)", 1)
+    tagged = pages_stream.withColumn("host", host)
+    return tagged.join(F.broadcast(host_labels), "host", "left")
+
+
 def stateful_host_counter(
     pages_stream: DataFrame,
     timeout_s: int = 3600,

@@ -83,7 +83,20 @@ def test_unknown_filter_yields_no_blocks_not_crash():
     assert text == "" and regions == []
 
 
-@pytest.mark.parametrize("style", ["TJ", "Tstar"])
+def test_hex_string_show_operator():
+    from doclayout_yolo_spark.pdf import parse_pdf_blocks as parse
+
+    # whitespace inside hex data is ignored; odd digit count pads 0
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 999 >>\nstream\n"
+        b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <48656C 6C6F20776F726C64> Tj ET"
+        b"\nendstream\nendobj\n"
+    )
+    blocks, _, _ = parse(raw)
+    assert blocks[0].text == "Hello world"
+
+
+@pytest.mark.parametrize("style", ["TJ", "Tstar", "hex"])
 @pytest.mark.parametrize("compress", [False, True])
 def test_show_operator_styles_equal_plain(style, compress):
     # word-per-segment TJ arrays (kerned) and TL/T* line advances must

@@ -43,6 +43,37 @@ def test_stream_equals_batch(spark, tmp_path_factory):
     assert spark.read.parquet(out_dir).count() == N
 
 
+def test_stream_static_enrichment_join(spark, tmp_path_factory):
+    from doclayout_yolo_spark.streaming import enriched_pages_stream, read_pages_stream
+
+    base = tmp_path_factory.mktemp("enrich")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    pdf = generate_pages_pandas(20)
+    spark.createDataFrame(pdf, schema=PAGES_DDL).repartition(3).write.parquet(in_dir)
+
+    hosts = sorted({u.split("//")[1].split("/")[0] for u in pdf["url"]})
+    # label only half the hosts: unmatched pages must keep flowing
+    labels = spark.createDataFrame(
+        [(h, f"label_{i}") for i, h in enumerate(hosts[: len(hosts) // 2])],
+        schema="host string, crawl_label string",
+    )
+    stream = enriched_pages_stream(read_pages_stream(spark, in_dir), labels)
+    q = (
+        stream.select("url", "host", "crawl_label")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 20  # left join: nothing dropped
+    got_labeled = {r["host"] for r in rows if r["crawl_label"] is not None}
+    assert got_labeled == set(hosts[: len(hosts) // 2])
+    assert all(r["host"] in r["url"] for r in rows)
+
+
 def test_quarantine_wrapper(monkeypatch):
     def boom(raw):
         raise ValueError("poisoned document")
