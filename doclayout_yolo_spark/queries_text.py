@@ -901,15 +901,21 @@ def simhash_hamming_pairs(spark, sf_dir):
     output is noise); 32 bits makes d<=2 a meaningful near-dup signal.
     The same banding generalizes to 64-bit production simhash."""
     sim = _simhash_df(spark, sf_dir, HAMMING_BITS)
-    bands = None
-    for i, (shift, width) in enumerate(SIM_BANDS):
-        b = sim.select(
-            "doc_id",
-            "simhash",
-            F.lit(i).alias("band"),
-            (F.shiftright("simhash", shift) % (1 << width)).alias("bucket"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    # ONE pass: posexplode the per-band buckets instead of a 3-way
+    # union (a union re-executes the whole signature aggregation once
+    # per band — 3 scans for 1; same lesson as tfidf's df-from-tf)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                (F.shiftright("simhash", shift) % (1 << width)).alias("bucket"),
+            )
+            for i, (shift, width) in enumerate(SIM_BANDS)
+        ]
+    )
+    bands = sim.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
     buckets = (
         bands.groupBy("band", "bucket")
         .agg(
@@ -1034,15 +1040,17 @@ def simhash64_hamming_pairs(spark, sf_dir):
     the corpus-scale variant of simhash_hamming_pairs (same pigeonhole
     band -> bucket-groupBy pair expansion; no all-pairs join)."""
     sim = _simhash64_df(spark, sf_dir)
-    bands = None
-    for k in range(SIM64_BANDS):
-        b = sim.select(
-            "doc_id",
-            "simhash",
-            F.lit(k).alias("band"),
-            F.col(f"b{k}").alias("bucket"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    # single-pass band rows (posexplode, not a 4-way union that would
+    # re-run the 64-sum aggregation per band)
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("bucket"))
+            for k in range(SIM64_BANDS)
+        ]
+    )
+    bands = sim.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
     buckets = (
         bands.groupBy("band", "bucket")
         .agg(

@@ -99,6 +99,21 @@ def enriched_pages_stream(
     return tagged.join(F.broadcast(host_labels), "host", "left")
 
 
+def watermarked_url_dedup(
+    pages_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Built-in exactly-once-per-key dedup within the re-crawl
+    horizon: ``dropDuplicatesWithinWatermark`` keeps one row per url
+    per watermark window with state the engine expires automatically —
+    the declarative sibling of :func:`stateful_url_dedup` for when no
+    custom per-key logic is needed.  State is bounded by urls seen
+    inside the watermark, not the corpus."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url"])
+    )
+
+
 def stateful_host_counter(
     pages_stream: DataFrame,
     timeout_s: int = 3600,

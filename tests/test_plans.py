@@ -159,6 +159,21 @@ def test_pq_encoding_has_no_exchange(spark):
     assert "Join" not in plan
 
 
+def test_simhash_band_rows_are_single_pass(spark):
+    # band rows must come from ONE posexplode over the signature
+    # aggregation — a per-band union would re-run the whole 32/64-sum
+    # aggregation once per band
+    from doclayout_yolo_spark.queries_text import (
+        simhash64_hamming_pairs,
+        simhash_hamming_pairs,
+    )
+
+    for q in (simhash_hamming_pairs, simhash64_hamming_pairs):
+        plan = plan_of(q(spark, SF_DIR), "simple")
+        assert plan.count("FileScan parquet") == 1, q.__name__
+        assert "Union" not in plan, q.__name__
+
+
 def test_bucketed_tables_join_without_shuffle(spark):
     # the Iceberg bucket-transform story, demonstrated with Spark
     # bucketed tables: two fact tables bucketed+sorted on the join key

@@ -74,6 +74,34 @@ def test_stream_static_enrichment_join(spark, tmp_path_factory):
     assert all(r["host"] in r["url"] for r in rows)
 
 
+def test_watermarked_url_dedup(spark, tmp_path_factory):
+    import pandas as pd
+
+    from doclayout_yolo_spark.streaming import read_pages_stream, watermarked_url_dedup
+
+    base = tmp_path_factory.mktemp("wmdedup")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    pdf = generate_pages_pandas(10)
+    dup = pdf.iloc[:4].copy()  # re-crawls of the first 4 urls
+    dup["warc_ts"] = dup["warc_ts"] + pd.Timedelta(minutes=5)
+    both = pd.concat([pdf, dup], ignore_index=True)
+    spark.createDataFrame(both, schema=PAGES_DDL).repartition(3).write.parquet(in_dir)
+
+    q = (
+        watermarked_url_dedup(read_pages_stream(spark, in_dir))
+        .select("url")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    urls = [r["url"] for r in spark.read.parquet(out_dir).collect()]
+    assert len(urls) == 10  # one per url, re-crawls suppressed
+    assert sorted(urls) == sorted(pdf["url"])
+
+
 def test_quarantine_wrapper(monkeypatch):
     def boom(raw):
         raise ValueError("poisoned document")
