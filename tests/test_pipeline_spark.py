@@ -125,6 +125,29 @@ def test_run_job_and_resume(spark, pages_df, tmp_path_factory, golden):
     assert merged.filter(F.col("attempt_number").isNull()).count() == 0
 
 
+def test_large_binary_rows_survive_batching(spark):
+    # SURVEY §7 hard part 5: html:binary rows far above the Arrow
+    # batch average must flow through the fused kernel without OOM or
+    # row loss — one ~2 MB page among normal ones
+    import pandas as pd
+
+    from doclayout_yolo_spark.fixtures import generate_pages_pandas
+
+    pdf = generate_pages_pandas(12)
+    big_body = "<p>" + ("lorem ipsum dolor sit amet " * 80_000) + "</p>"
+    big = pdf.iloc[:1].copy()
+    big["url"] = "https://bighost.example.com/huge"
+    big["html"] = [("<html><body>" + big_body + "</body></html>").encode()]
+    both = pd.concat([pdf, big], ignore_index=True)
+    out = extract_pages(
+        spark.createDataFrame(both, schema=PAGES_DDL), n_buckets=4
+    ).collect()
+    assert len(out) == 13
+    assert all(r["error"] is None for r in out)
+    huge = [r for r in out if r["url"].endswith("/huge")][0]
+    assert len(huge["extracted_text"]) > 1_000_000
+
+
 def test_orphan_bucket_reconciliation(spark, pages_df, tmp_path_factory):
     """Crash between data commit and manifest commit: the orphaned data
     partition must be deleted and re-extracted on resume — no
