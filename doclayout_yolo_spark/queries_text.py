@@ -978,6 +978,84 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}
 """
 
 
+# --- curation composite v2: the full training-data funnel in one query -----------
+
+CURATION_MIN_WORDS = 20
+
+
+def corpus_curation_v2(spark, sf_dir):
+    """The whole corpus-curation funnel as ONE query: exact dedup
+    (md5 groupBy, min-doc_id winner) -> eval-set decontamination
+    (broadcast 3-gram collision) -> PII redaction (planted
+    email/phone scrub) -> quality gate (min word count).  Every stage
+    is individually oracled elsewhere; this composes them the way the
+    100 TB job actually runs them, and the funnel counts come out in
+    the survivor rows.  Output: one row per surviving training doc
+    with its word count and redacted-text fingerprint."""
+    d = _docs(spark, sf_dir)
+    keep = (
+        d.select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sh = _shingles(spark, sf_dir)
+    eval_sh = sh.filter(F.col("doc_id") < N_EVAL_DOCS).select("sh").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") >= N_EVAL_DOCS)
+        .join(F.broadcast(eval_sh), "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    dirty = F.expr(_PII_TEXT.format(str_t="STRING"))
+    clean = F.regexp_replace(
+        F.regexp_replace(dirty, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    survivors = (
+        d.join(keep, "doc_id")  # dedup winners only
+        .filter(F.col("doc_id") >= N_EVAL_DOCS)  # eval docs never train
+        .join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+            F.md5(clean).alias("clean_fingerprint"),
+        )
+        .filter(F.col("n_words") >= CURATION_MIN_WORDS)
+    )
+    return survivors
+
+
+_PII_TEXT_D = (
+    _PII_TEXT.format(str_t="VARCHAR")
+    .replace("doc_id", "d.doc_id")
+    .replace("text ||", "d.text ||")
+)
+
+CURATION_V2_SQL = f"""
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+all_sh AS ({_SHINGLES_DUCK}),
+eval_sh AS (SELECT DISTINCT sh FROM all_sh WHERE doc_id < {N_EVAL_DOCS}),
+contaminated AS (
+  SELECT DISTINCT t.doc_id FROM all_sh t JOIN eval_sh e ON t.sh = e.sh
+  WHERE t.doc_id >= {N_EVAL_DOCS}
+)
+SELECT d.doc_id,
+       CAST(LENGTH(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       md5(regexp_replace(regexp_replace(
+             {_PII_TEXT_D},
+             '{_EMAIL_RE}', '[EMAIL]', 'g'),
+           '{_PHONE_RE}', '[PHONE]', 'g')) AS clean_fingerprint
+FROM documents d
+JOIN keep k ON d.doc_id = k.doc_id
+LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE d.doc_id >= {N_EVAL_DOCS}
+  AND c.doc_id IS NULL
+  AND LENGTH(string_split(d.text, ' ')) >= {CURATION_MIN_WORDS}
+"""
+
+
 # --- 64-bit SimHash (production shape) ---------------------------------------------
 #
 # The 32-bit query above keeps the fixture-scale output dense; this is
@@ -1444,6 +1522,7 @@ TEXT_QUERIES = {
     "decontaminate_against_eval": (decontaminate_against_eval, DECONTAMINATE_SQL),
     "redact_pii": (redact_pii, REDACT_SQL),
     "dup_sentence_fraction": (dup_sentence_fraction, DUP_SENT_SQL),
+    "corpus_curation_v2": (corpus_curation_v2, CURATION_V2_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
