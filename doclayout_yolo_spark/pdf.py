@@ -156,8 +156,13 @@ def _objstm_members(dict_bytes: bytes, data: bytes) -> dict[int, bytes]:
     return out
 
 
-def _content_streams(raw: bytes) -> list[bytes]:
-    """Decoded content-stream bodies in page order.
+def _content_streams(raw: bytes) -> tuple[list[bytes], tuple[float, ...] | None]:
+    """(decoded content-stream bodies in page order, MediaBox or None).
+
+    The MediaBox must come from the resolved page dicts, not a regex
+    over the raw file: with PDF 1.5 object streams the page dicts are
+    FlateDecode-compressed, so a raw scan would silently miss
+    non-default page sizes.
 
     Resolves the page tree — including page dicts stored inside
     compressed /ObjStm object streams (the PDF 1.5+ layout most modern
@@ -191,11 +196,16 @@ def _content_streams(raw: bytes) -> list[bytes]:
         page_nums = [
             num for num, body in dict_objs.items() if _PAGE_TYPE_RE.search(body)
         ]
+    media: tuple[float, ...] | None = None
     page_content_objs: list[int] = []
     for num in page_nums:
         body = dict_objs.get(num)
         if body is None:
             continue
+        if media is None:
+            mm = _MEDIABOX_RE.search(body)
+            if mm is not None:
+                media = tuple(float(v) for v in mm.groups())
         cm = _CONTENTS_RE.search(body)
         if cm is not None:
             page_content_objs.append(int(cm.group(1)))
@@ -204,7 +214,7 @@ def _content_streams(raw: bytes) -> list[bytes]:
             streams_by_obj[n]
             for n in page_content_objs
             if streams_by_obj[n] is not None
-        ]
+        ], media
     # fallback: every non-ObjStm stream in the file, one logical page
     out = []
     for sm in _STREAMOBJ_RE.finditer(raw):
@@ -213,7 +223,7 @@ def _content_streams(raw: bytes) -> list[bytes]:
         body = _decode_stream(sm.group("dict"), sm.group("body"))
         if body is not None:
             out.append(body)
-    return out
+    return out, media
 
 
 def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
@@ -231,13 +241,16 @@ def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
     the shared detector scores it down exactly like HTML <nav>/<footer>
     content.
     """
-    m = _MEDIABOX_RE.search(raw)
-    if m:
-        x0, y0, x1, y1 = (float(v) for v in m.groups())
+    streams, media = _content_streams(raw)
+    if media is None:
+        # fragmentary input with no resolvable page dict: raw scan
+        m = _MEDIABOX_RE.search(raw)
+        media = tuple(float(v) for v in m.groups()) if m else None
+    if media is not None:
+        x0, y0, x1, y1 = media
         page_w, page_h = x1 - x0, y1 - y0
     else:
         page_w, page_h = DEFAULT_PAGE_W, DEFAULT_PAGE_H
-    streams = _content_streams(raw)
     blocks: list[Block] = []
     for page_i, body in enumerate(streams):
         y_off = page_i * page_h
@@ -312,7 +325,10 @@ def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
                 + first_word_sp * text.count(" "),
                 page_w - px,
             )
-            height = (py - last_y) + first_size * LINE_H
+            # clamp: a text object may reposition UPWARD after its
+            # first shown string (columns, superscripts) — the box
+            # must never invert (negative area poisons NMS/IoU)
+            height = max(py - last_y, 0.0) + first_size * LINE_H
             in_boiler = (
                 y_top + height >= page_h - FOOTER_STRIP
                 or y_top <= HEADER_STRIP

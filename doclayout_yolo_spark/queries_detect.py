@@ -478,13 +478,15 @@ def extract_pdf_pages_multipage(spark, sf_dir):
                 mid = len(words) // 2
                 half1, half2 = " ".join(words[:mid]), " ".join(words[mid:])
                 urls.append(f"https://testdata.local/pdfmp/{int(doc_id)}.pdf")
+                # a <=1-word doc has an empty first half: page 1 then
+                # carries only the title (mirrored in the oracle CASE)
+                page1 = [(f"Doc {int(doc_id)}", 24.0, 60.0, 80.0)]
+                if half1:
+                    page1.append((half1, 12.0, 60.0, 150.0))
                 htmls.append(
                     build_pdf_pages(
                         [
-                            [
-                                (f"Doc {int(doc_id)}", 24.0, 60.0, 80.0),
-                                (half1, 12.0, 60.0, 150.0),
-                            ],
+                            page1,
                             [
                                 (half2, 12.0, 60.0, 150.0),
                                 ("copyright example", 9.0, 60.0, 760.0),
@@ -508,10 +510,12 @@ WITH s AS (
 )
 SELECT 'https://testdata.local/pdfmp/' || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
        'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
-         array_to_string(w[1 : LENGTH(w) // 2], ' ') || chr(10) || chr(10) ||
+         CASE WHEN LENGTH(w) >= 2
+              THEN array_to_string(w[1 : LENGTH(w) // 2], ' ') || chr(10) || chr(10)
+              ELSE '' END ||
          array_to_string(w[LENGTH(w) // 2 + 1 :], ' ') AS extracted_text,
-       CAST(3 AS INT) AS n_regions,
-       CAST(4 AS INT) AS n_blocks
+       CAST(CASE WHEN LENGTH(w) >= 2 THEN 3 ELSE 2 END AS INT) AS n_regions,
+       CAST(CASE WHEN LENGTH(w) >= 2 THEN 4 ELSE 3 END AS INT) AS n_blocks
 FROM s
 """
 

@@ -311,7 +311,13 @@ def _shingles(spark, sf_dir):
     invocations across a long-lived session (contract sweeps, bench
     loops) reuse ONE persisted DataFrame instead of stacking cache
     entries for the lifetime of the session."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    # evict entries from previous (stopped) sessions so a long-lived
+    # process that restarts Spark doesn't accumulate dead DataFrame
+    # graphs; live-session entries stay for plan-cache reuse
+    for k in [k for k in _SHINGLE_CACHE if k[0] != app]:
+        del _SHINGLE_CACHE[k]
+    key = (app, sf_dir)
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached

@@ -604,6 +604,34 @@ FROM truth LEFT JOIN cand ON truth.vec_a = cand.vec_a AND truth.vec_b = cand.vec
 K_CELLS = 16
 
 
+_HEAD_VEC_CACHE: dict = {}
+
+
+def _head_vectors(spark, sf_dir, k: int) -> np.ndarray:
+    """First-k vectors as a (k, DIM) float64 matrix — the collected
+    codebook the IVF/PQ kernels close over.  Memoized per
+    (application, sf_dir, k): the collect is a dimension-sized driver
+    artifact (a trained codebook ships to executors the same way), but
+    building a query should not re-scan embeddings on every builder
+    invocation (plan audits, bench warmups, repeated contract runs)."""
+    app = spark.sparkContext.applicationId
+    for key in [key for key in _HEAD_VEC_CACHE if key[0] != app]:
+        del _HEAD_VEC_CACHE[key]
+    key = (app, sf_dir, k)
+    got = _HEAD_VEC_CACHE.get(key)
+    if got is None:
+        rows = sorted(
+            _emb(spark, sf_dir)
+            .select("vec_id", "vec")
+            .filter(F.col("vec_id") < k)
+            .collect(),
+            key=lambda r: r["vec_id"],
+        )
+        got = np.array([r["vec"] for r in rows], dtype=np.float64)
+        _HEAD_VEC_CACHE[key] = got
+    return got
+
+
 def _ivf_assigned(spark, sf_dir):
     """Every vector tagged with its two nearest coarse cells — computed
     MAP-SIDE: the K_CELLS-row codebook is collected once (dimension-
@@ -618,11 +646,7 @@ def _ivf_assigned(spark, sf_dir):
     desc, cent_id asc (np.argmax/stable argsort keep the first = lowest
     cent_id on ties)."""
     emb = _emb(spark, sf_dir).select("vec_id", "vec")
-    cent_rows = sorted(
-        emb.filter(F.col("vec_id") < K_CELLS).collect(),
-        key=lambda r: r["vec_id"],
-    )
-    cmat = np.array([r["vec"] for r in cent_rows], dtype=np.float64)
+    cmat = _head_vectors(spark, sf_dir, K_CELLS)
     cn = np.sqrt((cmat * cmat).sum(axis=1))
 
     def kernel(batches):
@@ -871,13 +895,8 @@ PQ_KSUB = 16      # codewords per subspace (production uses 256)
 
 
 def _pq_codebook(spark, sf_dir) -> np.ndarray:
-    emb = _emb(spark, sf_dir).select("vec_id", "vec")
-    rows = sorted(
-        emb.filter(F.col("vec_id") < PQ_KSUB).collect(),
-        key=lambda r: r["vec_id"],
-    )
-    # (KSUB, M, SUBDIM)
-    return np.array([r["vec"] for r in rows], dtype=np.float64).reshape(
+    # (KSUB, M, SUBDIM), memoized per session like the IVF codebook
+    return _head_vectors(spark, sf_dir, PQ_KSUB).reshape(
         PQ_KSUB, PQ_M, PQ_SUBDIM
     )
 

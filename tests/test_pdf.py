@@ -150,6 +150,28 @@ def test_objstm_layout_equals_classic(compress):
     assert via_objstm == plain
 
 
+def test_objstm_mediabox_resolved_from_packed_page_dict():
+    # the MediaBox lives inside the compressed /ObjStm: geometry must
+    # come from the resolved page dict, not a raw-byte regex
+    pdf = build_pdf([("Hello world", 12.0, 60.0, 150.0)],
+                    page_w=400.0, page_h=500.0, objstm=True)
+    blocks, w, h = parse_pdf_blocks(pdf)
+    assert (w, h) == (400.0, 500.0)
+    assert blocks[0].y1 == pytest.approx(150.0)
+
+
+def test_upward_reposition_never_inverts_box():
+    # a second Tm ABOVE the first shown string (columns, superscripts)
+    # must not produce y2 < y1 — degenerate boxes poison NMS/IoU
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 999 >>\nstream\n"
+        b"BT /F1 12 Tf 1 0 0 1 50 300 Tm (low) Tj"
+        b" 1 0 0 1 50 700 Tm (high) Tj ET\nendstream\nendobj\n"
+    )
+    blocks, _, _ = parse_pdf_blocks(raw)
+    assert blocks[0].y2 > blocks[0].y1
+
+
 def test_objstm_multipage_kids_order():
     from doclayout_yolo_spark.pdf import build_pdf_pages, parse_pdf_blocks
 

@@ -28,7 +28,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-TENX_DIR = "/tmp/dedup_scale_10x"
+# twin dir keyed by the base, so switching SPARK_GRAFT_SF_DIR never
+# silently reuses a stale fixture built from a different corpus
+TENX_DIR = f"/tmp/dedup_scale_10x_{os.path.basename(BASE_SF.rstrip('/'))}"
 REPLICAS = 10
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -41,25 +43,25 @@ def build_10x(spark) -> None:
     shutil.rmtree(TENX_DIR, ignore_errors=True)
     base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
     reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("rep"))
+    new_text = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(split(text, ' '),"
+                " t -> concat('r', cast(rep as string), t))"
+            ),
+        )
+    )
     ten = (
         base.crossJoin(reps)
         .select(
             (F.col("doc_id") * REPLICAS + F.col("rep")).alias("doc_id"),
-            F.when(F.col("rep") == 0, F.col("text"))
-            .otherwise(
-                F.concat_ws(
-                    " ",
-                    F.expr(
-                        "transform(split(text, ' '),"
-                        " t -> concat('r', cast(rep as string), t))"
-                    ),
-                )
-            )
-            .alias("text"),
+            new_text.alias("text"),
             "lang",
             "source",
-            F.length("text").alias("n_chars"),
         )
+        # n_chars must describe the REPLICA text, not the original
+        .withColumn("n_chars", F.length("text"))
     )
     ten.repartition(CPUS).write.parquet(f"{TENX_DIR}/documents.parquet")
 
