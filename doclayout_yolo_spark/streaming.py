@@ -214,6 +214,31 @@ def stateful_url_dedup(pages_stream: DataFrame, timeout_s: int = 24 * 3600):
     )
 
 
+def sessionized_host_activity(
+    pages_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization: crawl-activity sessions per host via
+    ``session_window`` (dynamic-gap windows closed after ``gap`` of
+    inactivity, state expired by the watermark) — the streaming twin of
+    the batch ``sessionize_events`` contract query.  Works identically
+    on a static frame, which is how the test cross-checks it."""
+    host = F.regexp_extract(F.col("url"), r"https?://([^/:?]+)", 1)
+    return (
+        pages_stream.withColumn("host", host)
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.session_window("warc_ts", gap).alias("sw"), "host")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "host",
+            "n_pages",
+        )
+    )
+
+
 def windowed_region_counts(
     pages_with_regions: DataFrame,
     window: str = "1 hour",

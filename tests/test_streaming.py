@@ -102,6 +102,88 @@ def test_watermarked_url_dedup(spark, tmp_path_factory):
     assert sorted(urls) == sorted(pdf["url"])
 
 
+def test_streaming_session_windows(spark, tmp_path_factory):
+    import pandas as pd
+
+    from doclayout_yolo_spark.streaming import (
+        read_pages_stream,
+        sessionized_host_activity,
+    )
+
+    base = tmp_path_factory.mktemp("sess")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    # one host, two bursts separated by > gap; another host, one burst
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    for i, (host, off_min) in enumerate(
+        [("a.com", 0), ("a.com", 5), ("a.com", 90), ("a.com", 95),
+         ("b.com", 10), ("b.com", 20)]
+    ):
+        rows.append(
+            {
+                "url": f"https://{host}/p{i}",
+                "warc_ts": t0 + pd.Timedelta(minutes=off_min),
+                "html": b"<p>x</p>",
+                "text": "x",
+                "lang": "en",
+            }
+        )
+    pdf = pd.DataFrame(rows)
+
+    def run_once():
+        q = (
+            sessionized_host_activity(read_pages_stream(spark, in_dir))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def flush_row(hours):
+        return pd.DataFrame(
+            [{
+                "url": f"https://flush.example.com/{hours}",
+                "warc_ts": t0 + pd.Timedelta(hours=hours),
+                "html": b"<p>x</p>", "text": "x", "lang": "en",
+            }]
+        )
+
+    # run 1: main bursts + a far-future event pushes the watermark
+    spark.createDataFrame(
+        pd.concat([pdf, flush_row(10)]), schema=PAGES_DDL
+    ).repartition(2).write.mode("append").parquet(in_dir)
+    run_once()
+    # run 2: append-mode emits sessions finalized by the PRE-batch
+    # watermark (t0+8h), so a second batch flushes the main sessions
+    spark.createDataFrame(flush_row(11), schema=PAGES_DDL).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_once()
+
+    got = {
+        (r["host"], r["session_start"].isoformat(), r["n_pages"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["host"] != "flush.example.com"
+    }
+    # a.com splits at the 85-min gap; b.com's 10-min gap stays merged
+    assert got == {
+        ("a.com", "2026-01-01T00:00:00", 2),
+        ("a.com", "2026-01-01T01:30:00", 2),
+        ("b.com", "2026-01-01T00:10:00", 2),
+    }
+    # static-frame twin produces identical sessions
+    static = {
+        (r["host"], r["session_start"].isoformat(), r["n_pages"])
+        for r in sessionized_host_activity(
+            spark.createDataFrame(pdf, schema=PAGES_DDL)
+        ).collect()
+    }
+    assert static == got
+
+
 def test_quarantine_wrapper(monkeypatch):
     def boom(raw):
         raise ValueError("poisoned document")
