@@ -541,6 +541,75 @@ _URL_EXPR = (
 )
 
 
+RANGE_N_WINDOWS = 50
+RANGE_WINDOW_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def range_join_clicks_in_window(spark, sf_dir):
+    """RANGE JOIN: the first RANGE_N_WINDOWS purchase events each
+    define a 30-minute look-back interval; count the click events of
+    ANY user inside each interval.  Scale shape: the interval side is
+    small and BROADCAST, so the inequality join is a map-side nested
+    loop over broadcast ranges — the plan that works when the probe
+    side is 10^12 rows (never a cross shuffle).  Output one row per
+    window with click count + distinct clickers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .orderBy("event_id")
+        .limit(RANGE_N_WINDOWS)
+        .select(
+            F.col("event_id").alias("window_id"),
+            (F.col("ts_us") - F.lit(RANGE_WINDOW_US)).alias("w_start"),
+            F.col("ts_us").alias("w_end"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("c_ts")
+    )
+    joined = clicks.join(
+        F.broadcast(windows),
+        (F.col("c_ts") >= F.col("w_start")) & (F.col("c_ts") < F.col("w_end")),
+        "inner",
+    )
+    counted = joined.groupBy("window_id").agg(
+        F.count("*").cast("long").alias("n_clicks"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return windows.join(counted, "window_id", "left").select(
+        "window_id",
+        F.coalesce(F.col("n_clicks"), F.lit(0)).cast("long").alias("n_clicks"),
+        F.coalesce(F.col("n_users"), F.lit(0)).cast("long").alias("n_users"),
+    )
+
+
+RANGE_JOIN_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+w AS (
+  SELECT event_id AS window_id, ts_us - {RANGE_WINDOW_US} AS w_start, ts_us AS w_end
+  FROM ev WHERE event_type = 'purchase' ORDER BY event_id LIMIT {RANGE_N_WINDOWS}
+),
+c AS (SELECT user_id, ts_us AS c_ts FROM ev WHERE event_type = 'click'),
+hits AS (
+  SELECT w.window_id, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+         CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users
+  FROM c JOIN w ON c.c_ts >= w.w_start AND c.c_ts < w.w_end
+  GROUP BY 1
+)
+SELECT w.window_id,
+       CAST(COALESCE(hits.n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(hits.n_users, 0) AS BIGINT) AS n_users
+FROM w LEFT JOIN hits ON w.window_id = hits.window_id
+"""
+
+
 def url_host_stats(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     url = F.expr(_URL_EXPR.format(str_t="STRING"))
@@ -602,6 +671,7 @@ FROM events GROUP BY event_type
 
 EXTRA_QUERIES = {
     "url_host_stats": (url_host_stats, URL_HOST_SQL),
+    "range_join_clicks_in_window": (range_join_clicks_in_window, RANGE_JOIN_SQL),
     "event_props_json": (event_props_json, EVENT_PROPS_SQL),
     "coordinate_views": (coordinate_views, COORD_VIEWS_SQL),
     "max_f1_threshold": (max_f1_threshold, MAX_F1_SQL),

@@ -174,6 +174,17 @@ def test_simhash_band_rows_are_single_pass(spark):
         assert "Union" not in plan, q.__name__
 
 
+def test_range_join_broadcasts_interval_side(spark):
+    # the inequality join must be a nested loop over BROADCAST ranges
+    # (map-side) — a shuffled cross product would be fatal at 10^12
+    # probe rows
+    from doclayout_yolo_spark.queries_extra import range_join_clicks_in_window
+
+    plan = plan_of(range_join_clicks_in_window(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bucketed_tables_join_without_shuffle(spark):
     # the Iceberg bucket-transform story, demonstrated with Spark
     # bucketed tables: two fact tables bucketed+sorted on the join key
