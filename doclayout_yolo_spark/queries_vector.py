@@ -141,6 +141,64 @@ def _decode_kernel(batches):
         )
 
 
+def multimodal_feature_extract(spark, sf_dir):
+    """Feature extraction over an opaque binary column: a 16-bin
+    nibble histogram per payload — REAL computation (not a stub), the
+    shape of any decode->featurize stage (image color histograms,
+    audio energy bands), computed in one Arrow-batched pass.  Output:
+    doc_id, 16 bin counts, and the dominant nibble."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def kernel(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"doc_id": pdf["doc_id"].astype("int64")}
+            hists = []
+            for raw in pdf["payload"]:
+                arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+                nibbles = np.concatenate([arr >> 4, arr & 0xF])
+                hists.append(np.bincount(nibbles, minlength=16))
+            h = np.array(hists, dtype=np.int64)
+            for b in range(16):
+                out[f"f{b:x}"] = h[:, b]
+            # ties break to the LOWEST nibble (np.argmax first-max)
+            out["dominant_nibble"] = h.argmax(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(
+        f"f{b:x} long" for b in range(16)
+    ) + ", dominant_nibble int"
+    return d.mapInPandas(kernel, schema=schema)
+
+
+def _nibble_count_duck(digit: str) -> str:
+    # occurrences of hex digit in the uppercase hex encoding = count
+    # of that nibble value across the payload
+    return (
+        f"CAST(LENGTH(h) - LENGTH(replace(h, '{digit.upper()}', '')) AS BIGINT)"
+    )
+
+
+FEATURE_EXTRACT_SQL = f"""
+WITH p AS (SELECT doc_id, upper(hex(encode(text))) AS h FROM documents),
+f AS (
+  SELECT doc_id,
+         {", ".join(f"{_nibble_count_duck(format(b, 'x'))} AS f{format(b, 'x')}" for b in range(16))}
+  FROM p
+)
+SELECT *, CAST(list_position(
+  [{", ".join("f" + format(b, "x") for b in range(16))}],
+  list_aggregate([{", ".join("f" + format(b, "x") for b in range(16))}], 'max')
+) - 1 AS INT) AS dominant_nibble
+FROM f
+"""
+
+
 def multimodal_decode_stub(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
@@ -1182,6 +1240,7 @@ VECTOR_QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "embedding_label_stats": (embedding_label_stats, EMB_STATS_SQL),
     "multimodal_decode_stub": (multimodal_decode_stub, DECODE_SQL),
+    "multimodal_feature_extract": (multimodal_feature_extract, FEATURE_EXTRACT_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, FRAME_SAMPLE_SQL),
     "multimodal_resize_stub": (multimodal_resize_stub, RESIZE_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, COSINE_DUP_SQL),
