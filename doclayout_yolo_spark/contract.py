@@ -3,6 +3,7 @@ query name -> (spark_callable, duckdb_oracle_sql | None)."""
 
 from __future__ import annotations
 
+from .queries_curation import CURATION_QUERIES
 from .queries_detect import DETECT_QUERIES
 from .queries_extra import EXTRA_QUERIES
 from .queries_relational import RELATIONAL_QUERIES
@@ -16,6 +17,7 @@ for group in (
     VECTOR_QUERIES,
     DETECT_QUERIES,
     EXTRA_QUERIES,
+    CURATION_QUERIES,
 ):
     for name, pair in group.items():
         assert name not in ALL_QUERIES, f"duplicate query name {name}"
