@@ -1,7 +1,8 @@
 """Corpus-curation operators round 2: the training-data-pipeline ops a
 100 TB pretrain corpus build needs beyond dedup/quality — paragraph
 (chunk-hash) dedup with text reassembly, sequence packing into fixed
-token blocks, PII redaction, and URL canonicalization.
+token blocks, and URL canonicalization (PII redaction lives in
+queries_text.redact_pii).
 
 Every query here is a `queries()` contract entry with a DuckDB oracle;
 all heavy expressions are JVM-side Catalyst (no Python in the hot
@@ -202,67 +203,6 @@ FROM c
 """
 
 
-# --- PII redaction -----------------------------------------------------------
-#
-# The pre-release scrub every public corpus applies (emails, phone
-# numbers -> placeholder tokens).  The synthetic corpus carries no PII,
-# so each doc gets a deterministic contact line appended IN-QUERY (both
-# engines append the identical line) and the redaction regexes run over
-# that; output hashes the redacted text so the value gate proves the
-# replacement is byte-identical.  Regexes are kept to the Java/RE2
-# common subset.
-
-
-def pii_redact(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    synth = F.concat(
-        F.col("text"),
-        F.lit(" contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com or call 555-"),
-        F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0"),
-        F.lit(" now"),
-    )
-    red = F.regexp_replace(
-        F.regexp_replace(synth, "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
-        "555-[0-9]{4}",
-        "<PHONE>",
-    )
-    return d.select(
-        "doc_id",
-        F.regexp_count(synth, F.lit("[a-z0-9.]+@[a-z0-9.]+"))
-        .cast("long")
-        .alias("n_emails"),
-        F.regexp_count(synth, F.lit("555-[0-9]{4}")).cast("long").alias("n_phones"),
-        F.md5(F.encode(red, "utf-8")).alias("redacted_md5"),
-        F.length(red).cast("long").alias("redacted_len"),
-    )
-
-
-PII_REDACT_SQL = """
-WITH s AS (
-  SELECT doc_id,
-         text || ' contact user' || CAST(doc_id AS VARCHAR)
-              || '@example.com or call 555-'
-              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS t
-  FROM documents
-),
-r AS (
-  SELECT doc_id, t,
-         regexp_replace(
-           regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
-           '555-[0-9]{4}', '<PHONE>', 'g') AS red
-  FROM s
-)
-SELECT doc_id,
-       CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
-       md5(red) AS redacted_md5,
-       CAST(LENGTH(red) AS BIGINT) AS redacted_len
-FROM r
-"""
-
-
 # --- URL canonicalization + canonical-url dedup ------------------------------
 #
 # Crawl dedup's first line of defense: normalize scheme/host case,
@@ -350,9 +290,238 @@ FROM c GROUP BY 1
 """
 
 
+# --- link-graph PageRank (2 deterministic power iterations) ------------------
+#
+# The web-graph centrality pass every crawl-frontier / quality-prior
+# pipeline runs (Page et al., 1999).  The documents table carries no
+# links, so a deterministic synthetic graph is derived IN-QUERY (doc d
+# links to (7d+k) mod N for k=1..3, self-loops dropped — both engines
+# build the identical edge list); two damped power iterations then run
+# as pure DataFrame joins/aggregations.
+#
+# Scale: the classic distributed PageRank shape — per iteration, one
+# shuffle keyed by dst for the contribution aggregation and one
+# doc_id-keyed join back; no windows, no driver collect, state is one
+# rank column.  Parity: per-edge contributions are rounded then summed
+# as DECIMAL(28,18) (order-independent exact sum), each iteration's
+# rank is rounded to 12 decimals so both engines enter the next
+# iteration with bit-identical doubles.
+
+PR_DAMP = 0.85
+
+
+def _pr_nodes(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id")
+    n_df = d.agg(F.count("*").alias("n"))
+    return (
+        d.crossJoin(F.broadcast(n_df))
+        .selectExpr(
+            "doc_id",
+            "n",
+            "filter(transform(sequence(1, 3), k -> (doc_id * 7 + k) % n),"
+            " t -> t != doc_id) AS targets",
+        )
+        .selectExpr("doc_id", "n", "targets", "size(targets) AS out_deg")
+    )
+
+
+def _pr_contrib(edges, rank_col):
+    """Exact-sum in-flowing rank per destination node."""
+    return edges.groupBy("dst").agg(
+        F.sum(
+            F.round(rank_col / F.col("out_deg"), 15).cast("decimal(28,18)")
+        ).alias("c")
+    )
+
+
+def link_graph_pagerank(spark, sf_dir):
+    nodes = _pr_nodes(spark, sf_dir)
+    edges = nodes.select(
+        "doc_id", "n", "out_deg", F.explode("targets").alias("dst")
+    )
+    c1 = _pr_contrib(edges, F.lit(1.0) / F.col("n")).withColumnRenamed(
+        "dst", "doc_id"
+    )
+    base = 0.15 / F.col("n")
+    r1 = nodes.join(c1, "doc_id", "left").select(
+        "doc_id",
+        "n",
+        "out_deg",
+        "targets",
+        F.round(
+            base + PR_DAMP * F.coalesce(F.col("c").cast("double"), F.lit(0.0)),
+            12,
+        ).alias("r1"),
+    )
+    e2 = r1.select("out_deg", "r1", F.explode("targets").alias("dst"))
+    c2 = _pr_contrib(e2, F.col("r1")).withColumnRenamed("dst", "doc_id")
+    in_deg = (
+        edges.groupBy("dst")
+        .agg(F.count("*").alias("in_deg"))
+        .withColumnRenamed("dst", "doc_id")
+    )
+    return (
+        r1.join(c2, "doc_id", "left")
+        .join(in_deg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("out_deg").cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.round(
+                base
+                + PR_DAMP * F.coalesce(F.col("c").cast("double"), F.lit(0.0)),
+                12,
+            ).alias("pagerank"),
+        )
+    )
+
+
+PAGERANK_SQL = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (
+  SELECT doc_id, n,
+         list_filter([(doc_id * 7 + k) % n FOR k IN range(1, 4)],
+                     t -> t != doc_id) AS targets
+  FROM documents, nn
+),
+n2 AS (SELECT doc_id, n, targets, len(targets) AS out_deg FROM nodes),
+edges AS (SELECT doc_id AS src, n, out_deg, unnest(targets) AS dst FROM n2),
+c1 AS (
+  SELECT dst, SUM(CAST(round(CAST(1 AS DOUBLE) / n / out_deg, 15)
+                       AS DECIMAL(28,18))) AS c
+  FROM edges GROUP BY dst
+),
+r1 AS (
+  SELECT n2.doc_id, n2.n, n2.out_deg, n2.targets,
+         round(CAST(0.15 AS DOUBLE) / n2.n
+               + CAST(0.85 AS DOUBLE) * COALESCE(CAST(c1.c AS DOUBLE), 0),
+               12) AS r1
+  FROM n2 LEFT JOIN c1 ON n2.doc_id = c1.dst
+),
+e2 AS (SELECT out_deg, r1, unnest(targets) AS dst FROM r1),
+c2 AS (
+  SELECT dst, SUM(CAST(round(r1 / out_deg, 15) AS DECIMAL(28,18))) AS c
+  FROM e2 GROUP BY dst
+),
+ind AS (SELECT dst, COUNT(*) AS in_deg FROM edges GROUP BY dst)
+SELECT r1.doc_id,
+       CAST(r1.out_deg AS BIGINT) AS out_deg,
+       COALESCE(ind.in_deg, 0) AS in_deg,
+       round(CAST(0.15 AS DOUBLE) / r1.n
+             + CAST(0.85 AS DOUBLE) * COALESCE(CAST(c2.c AS DOUBLE), 0),
+             12) AS pagerank
+FROM r1
+LEFT JOIN c2 ON r1.doc_id = c2.dst
+LEFT JOIN ind ON r1.doc_id = ind.dst
+"""
+
+
+# --- Unicode NFC normalization -----------------------------------------------
+#
+# The first step of any real text-curation pipeline (combining marks ->
+# composed forms, so dedup hashes and tokenizers see one spelling).
+# Spark has no NFC builtin, so this is the honest Arrow path: a
+# mapInPandas kernel over unicodedata.normalize — cross-checked against
+# DuckDB's independent nfc_normalize() implementation, with md5 of the
+# normalized UTF-8 proving byte-identity.  The ASCII corpus gets a
+# deterministic decomposed suffix appended in-query (both engines
+# append identical codepoints) so the normalization actually fires.
+
+NFC_SUFFIX = " café naïve français"
+
+
+def nfc_normalize(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), F.lit(NFC_SUFFIX)).alias("raw")
+    )
+
+    def kernel(batches):
+        import unicodedata  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            norm = pdf["raw"].map(lambda x: unicodedata.normalize("NFC", x))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "len_raw": pdf["raw"].str.len().astype("int64"),
+                    "len_nfc": norm.str.len().astype("int64"),
+                    "nfc_md5": norm.map(
+                        lambda x: __import__("hashlib")
+                        .md5(x.encode("utf-8"))
+                        .hexdigest()
+                    ),
+                }
+            )
+
+    return d.mapInPandas(
+        kernel,
+        schema="doc_id long, len_raw long, len_nfc long, nfc_md5 string",
+    )
+
+
+NFC_SQL = f"""
+SELECT doc_id,
+       CAST(LENGTH(text || '{NFC_SUFFIX}') AS BIGINT) AS len_raw,
+       CAST(LENGTH(nfc_normalize(text || '{NFC_SUFFIX}')) AS BIGINT) AS len_nfc,
+       md5(nfc_normalize(text || '{NFC_SUFFIX}')) AS nfc_md5
+FROM documents
+"""
+
+
+# --- weighted sampling (Efraimidis-Spirakis exponential clocks) --------------
+#
+# Quality-weighted corpus subsampling: each doc draws a deterministic
+# uniform u from its id hash and competes with key -ln(u)/w (w = doc
+# length) — the exponential-clock form of A-ES weighted reservoir
+# sampling (Efraimidis & Spirakis, 2006); the K smallest keys win, so
+# longer docs are proportionally likelier.  Scale: orderBy(key).limit(K)
+# is Spark's TakeOrdered — per-partition top-K then a K-sized merge, no
+# full sort, no single-reducer window.
+
+WS_K = 25
+
+
+def weighted_sample(spark, sf_dir):
+    h = _H_SPARK.format(x="cast(doc_id as string)")
+    scored = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "n_chars",
+        f"round(-ln((cast({h} % 1000000 as double) + 0.5) / 1000000.0)"
+        " / cast(n_chars as double), 12) AS skey",
+    )
+    top = scored.orderBy("skey", "doc_id").limit(WS_K)
+    w = W.orderBy("skey", "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("sample_rank"),
+        "doc_id",
+        "n_chars",
+        "skey",
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         round(-ln((CAST({_H_DUCK.format(x="CAST(doc_id AS VARCHAR)")} % 1000000
+                         AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE))
+               / CAST(n_chars AS DOUBLE), 12) AS skey
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS sample_rank,
+       doc_id, n_chars, skey
+FROM s ORDER BY skey, doc_id LIMIT {WS_K}
+"""
+
+
 CURATION_QUERIES = {
     "dedup_paragraphs": (dedup_paragraphs, DEDUP_PARAGRAPHS_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
-    "pii_redact": (pii_redact, PII_REDACT_SQL),
     "url_canonicalize": (url_canonicalize, URL_CANON_SQL),
+    "link_graph_pagerank": (link_graph_pagerank, PAGERANK_SQL),
+    "nfc_normalize": (nfc_normalize, NFC_SQL),
+    "weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
 }
