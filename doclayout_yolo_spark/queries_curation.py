@@ -35,10 +35,14 @@ def _docs(spark: SparkSession, sf_dir: str):
 # a fixed window of CHUNK_W consecutive tokens — the same shape at a
 # different split point.
 #
-# Scale: one scan -> explode to (doc, chunk) rows -> groupBy(chunk
-# hash) min-owner (map-side combinable) -> hash-keyed semi join back
-# -> per-doc reassembly groupBy.  Two shuffles, both on high-cardinality
-# keys; no window over the corpus, no driver collect.
+# Scale: ONE corpus scan -> explode to (doc, chunk) rows -> first-
+# occurrence flag via a window partitioned by the chunk hash (high-
+# cardinality key: no skew, no chunk-table broadcast) -> per-doc
+# reassembly groupBy.  Exactly two shuffles (h, then doc_id); every
+# chunk row is carried once.  A first cut used groupBy-min owners plus
+# a join back, which scanned documents three times and let AQE
+# broadcast the corpus-sized owners table — fine at test SF, fatal at
+# 100 TB; pinned single-scan by tests/test_plans.py.
 
 CHUNK_W = 12
 
@@ -49,42 +53,30 @@ def dedup_paragraphs(spark, sf_dir):
     each document's text is reassembled from its surviving chunks.
     Output: doc_id, n_chunks, n_kept, dedup_text."""
     d = _docs(spark, sf_dir)
-    base = d.selectExpr(
-        "doc_id",
-        f"cast(ceil(size(split(text, ' ')) / {CHUNK_W}) as long) AS n_chunks",
-    )
     ch = d.selectExpr(
         "doc_id",
         f"posexplode(transform(sequence(0, cast(ceil(size(split(text, ' ')) / {CHUNK_W}) as int) - 1),"
         f" i -> array_join(slice(split(text, ' '), i * {CHUNK_W} + 1, {CHUNK_W}), ' ')))"
         " AS (chunk_idx, chunk)",
     ).selectExpr("doc_id", "chunk_idx", "chunk", _H_SPARK.format(x="chunk") + " AS h")
-    owners = ch.groupBy("h").agg(
-        F.min(F.struct("doc_id", "chunk_idx")).alias("first")
+    w = W.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    flagged = ch.withColumn(
+        "keep", F.row_number().over(w) == 1
     )
-    keep = (
-        ch.join(owners, "h")
-        .where(
-            (F.col("doc_id") == F.col("first.doc_id"))
-            & (F.col("chunk_idx") == F.col("first.chunk_idx"))
-        )
-        .select("doc_id", "chunk_idx", "chunk")
-    )
-    kept = keep.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("chunk_idx", "chunk"))
+                    )
+                ),
                 lambda s: s["chunk"],
             ),
             " ",
         ).alias("dedup_text"),
-    )
-    return base.join(kept, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
     )
 
 

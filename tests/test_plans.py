@@ -249,3 +249,43 @@ def test_output_table_partition_pruning(spark, tmp_path_factory):
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "part_id" in pf
     assert df.count() == spark.read.parquet(f"{out}/data/part_id=3").count()
+
+
+def test_sequence_packing_two_phase_prefix_sum(spark):
+    # the corpus-sized window must be partitioned by bucket (parallel);
+    # the only unpartitioned window runs over the tiny per-bucket
+    # aggregate, and the offsets come back via a broadcast join
+    from doclayout_yolo_spark.queries_curation import sequence_packing
+
+    plan = plan_of(sequence_packing(spark, SF_DIR))
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert len(specs) == 2
+    # a partition column appears bare (no ASC/DESC); an order-only spec
+    # starts straight with "col ASC".  Exactly one window is partitioned
+    # (the corpus cumsum); the unpartitioned one is the tiny bucket-
+    # offsets pass.
+    partitioned = [s for s in specs if " ASC" not in s.split(",")[0]]
+    assert len(partitioned) == 1 and partitioned[0].startswith("bucket")
+    assert "BroadcastHashJoin" in plan  # bucket offsets broadcast back
+
+
+def test_dedup_paragraphs_single_scan_no_broadcast(spark):
+    # one parquet scan feeds the whole lineage; the chunk table must
+    # never be broadcast (corpus-sized at scale)
+    from doclayout_yolo_spark.queries_curation import dedup_paragraphs
+
+    plan = plan_of(dedup_paragraphs(spark, SF_DIR), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "BroadcastExchange" not in plan
+
+
+def test_pagerank_no_windows_broadcast_count(spark):
+    # iterative PageRank must stay window-free (dst-keyed aggregations
+    # + id-keyed joins only); the corpus count joins in via broadcast
+    from doclayout_yolo_spark.queries_curation import link_graph_pagerank
+
+    plan = plan_of(link_graph_pagerank(spark, SF_DIR), "simple")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row count cross join
