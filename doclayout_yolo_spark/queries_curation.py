@@ -509,6 +509,150 @@ FROM s ORDER BY skey, doc_id LIMIT {WS_K}
 """
 
 
+# --- WARC ingestion round-trip -----------------------------------------------
+#
+# Common-Crawl ships pages as WARC files (ISO 28500).  This query
+# proves the engine's WARC leg end-to-end and distributed: documents
+# are grouped into per-file batches, each task WRITES a WARC file with
+# warc.build_warc and re-reads it with the independent warc.parse_warc
+# (Content-Length slicing, not magic-splitting), emitting one row per
+# parsed record.  Docs at doc_id % 11 == 0 get a decoy "WARC/1.0"
+# header block PREPENDED INSIDE their payload — a parser that splits on
+# the magic string would shear these records; the oracle's closed-form
+# expectations (lengths + md5 straight from the documents table) prove
+# it doesn't.  Scale: applyInPandas keyed by file id — one file per
+# task, zero further shuffle, the exact shape of a 10^6-file crawl
+# ingest.
+
+WARC_FILES = 25
+
+
+def warc_roundtrip(spark, sf_dir):
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"doc_id % {WARC_FILES} AS file_id",
+        "CASE WHEN doc_id % 11 = 0 THEN"
+        " concat('WARC/1.0\\r\\nContent-Length: 3\\r\\n\\r\\nxyz', text)"
+        " ELSE text END AS payload_txt",
+    )
+
+    def kernel(key, pdf):
+        import hashlib  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        from .warc import build_warc, parse_warc  # noqa: PLC0415
+
+        pdf = pdf.sort_values("doc_id")
+        blob = build_warc(
+            [
+                (
+                    f"https://w{int(r.doc_id)}.example/p",
+                    "2026-01-01T00:00:00Z",
+                    str(r.payload_txt).encode("utf-8"),
+                )
+                for r in pdf.itertuples()
+            ]
+        )
+        recs = parse_warc(blob)
+        return pd.DataFrame(
+            {
+                "doc_id": [int(r["uri"][9:].split(".")[0]) for r in recs],
+                "rec_index": list(range(len(recs))),
+                "content_length": [len(r["payload"]) for r in recs],
+                "payload_md5": [
+                    hashlib.md5(r["payload"]).hexdigest() for r in recs
+                ],
+            }
+        )
+
+    return (
+        d.groupBy("file_id")
+        .applyInPandas(
+            kernel,
+            schema="doc_id long, rec_index long, content_length long, payload_md5 string",
+        )
+    )
+
+
+WARC_SQL = f"""
+WITH p AS (
+  SELECT doc_id, doc_id % {WARC_FILES} AS file_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN 'WARC/1.0' || chr(13) || chr(10) || 'Content-Length: 3'
+                   || chr(13) || chr(10) || chr(13) || chr(10) || 'xyz' || text
+              ELSE text END AS payload_txt
+  FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY file_id ORDER BY doc_id) - 1
+            AS BIGINT) AS rec_index,
+       CAST(strlen(payload_txt) AS BIGINT) AS content_length,
+       md5(payload_txt) AS payload_md5
+FROM p
+"""
+
+
+# --- crawl snapshot diff -----------------------------------------------------
+#
+# The incremental-crawl primitive: given the previous snapshot and the
+# current one, classify every url as added / removed / changed /
+# unchanged (content hash compare).  The previous snapshot is derived
+# deterministically in-query (docs at id % 10 == 0 are "new", id % 7
+# == 0 carry changed text, and id % 13 == 0 contribute phantom urls
+# that vanished this crawl) — both engines derive the identical prev.
+# Scale: one full-outer hash join on the url key + an md5 compare; no
+# windows, no collect.
+
+
+def crawl_snapshot_diff(spark, sf_dir):
+    cur = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("text")).alias("cur_md5")
+    )
+    d = _docs(spark, sf_dir)
+    prev_kept = d.filter(F.pmod("doc_id", F.lit(10)) != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.pmod("doc_id", F.lit(7)) == 0, F.concat("text", F.lit(" v1"))
+            ).otherwise(F.col("text"))
+        ).alias("prev_md5"),
+    )
+    prev_gone = d.filter(F.pmod("doc_id", F.lit(13)) == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.md5("text").alias("prev_md5"),
+    )
+    prev = prev_kept.unionByName(prev_gone)
+    joined = cur.join(prev, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("prev_md5").isNull(), "added")
+        .when(F.col("cur_md5").isNull(), "removed")
+        .when(F.col("cur_md5") == F.col("prev_md5"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select("doc_id", status.alias("status"))
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH cur AS (SELECT doc_id, md5(text) AS cur_md5 FROM documents),
+prev AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END)
+           AS prev_md5
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS prev_md5
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(cur.doc_id, prev.doc_id) AS doc_id,
+       CASE WHEN prev.prev_md5 IS NULL THEN 'added'
+            WHEN cur.cur_md5 IS NULL THEN 'removed'
+            WHEN cur.cur_md5 = prev.prev_md5 THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
+"""
+
+
 CURATION_QUERIES = {
     "dedup_paragraphs": (dedup_paragraphs, DEDUP_PARAGRAPHS_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
@@ -516,4 +660,6 @@ CURATION_QUERIES = {
     "link_graph_pagerank": (link_graph_pagerank, PAGERANK_SQL),
     "nfc_normalize": (nfc_normalize, NFC_SQL),
     "weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
+    "warc_roundtrip": (warc_roundtrip, WARC_SQL),
+    "crawl_snapshot_diff": (crawl_snapshot_diff, SNAPSHOT_DIFF_SQL),
 }
