@@ -46,6 +46,9 @@ HEADLINE = [
     "simhash64_hamming_pairs",
     "tfidf_top_terms",
     "corpus_curation_pipeline",
+    "dedup_paragraphs",
+    "warc_roundtrip",
+    "link_graph_pagerank",
 ]
 
 N_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000"))
