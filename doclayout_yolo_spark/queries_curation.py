@@ -653,7 +653,125 @@ FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
 """
 
 
+# --- zlib compressibility (quality signal) -----------------------------------
+#
+# The compression-ratio heuristic real corpus filters use (highly
+# repetitive / templated text compresses far below prose; cf. Gopher's
+# repetition family and FineWeb's quality notes): ratio = deflate(text)
+# bytes / raw bytes.  zlib has no SQL analog, so the oracle is a golden
+# snapshot generated by the pytest-trusted single-process path
+# (tools/gen_golden_oracles.py) — same convention as the NMS/mAP
+# goldens, valid at the driver's sf0.01 gate.  Scale: map-only Arrow
+# kernel, zero shuffle.
+
+
+def compression_ratio(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def kernel(batches):
+        import zlib  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            n = [len(b) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pd.Series(n, dtype="int64"),
+                    "comp_bytes": pd.Series(comp, dtype="int64"),
+                    "ratio": [round(c / b, 6) for c, b in zip(comp, n)],
+                }
+            )
+
+    return d.mapInPandas(
+        kernel,
+        schema="doc_id long, n_bytes long, comp_bytes long, ratio double",
+    )
+
+
+def _curation_golden_sql(name: str) -> str:
+    import os  # noqa: PLC0415
+
+    gd = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "golden", "sf0.01",
+    )
+    return f"SELECT * FROM parquet_scan('{gd}/{name}.parquet')"
+
+
+# --- per-source (host) quality report ----------------------------------------
+#
+# The crawl-ops dashboard query: for every source (the host analog in
+# the documents table) report volume, exact-dup ratio, mean length,
+# and the dominant language.  Scale: one groupBy(source, lang) for the
+# language mode (bounded cardinality: sources x langs), one
+# groupBy(source) with count-distinct for the rest; the mode window
+# runs over the tiny aggregate, never the corpus.
+
+
+def host_quality_report(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_unique"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("avg_chars"),
+    ).withColumn(
+        "dup_ratio",
+        F.round(1.0 - F.col("n_unique") / F.col("n_docs").cast("double"), 6),
+    )
+    lang_counts = d.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("source").orderBy(F.desc("cnt"), F.asc("lang"))
+    top_lang = (
+        lang_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return per_src.join(top_lang, "source").select(
+        "source", "n_docs", "n_unique", "dup_ratio", "avg_chars", "top_lang"
+    )
+
+
+HOST_QUALITY_SQL = """
+WITH per_src AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT md5(text)) AS n_unique,
+         ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE)
+               / COUNT(*), 4) AS avg_chars
+  FROM documents GROUP BY source
+),
+lc AS (
+  SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY source, lang
+),
+tl AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY cnt DESC, lang ASC) AS rn
+    FROM lc
+  ) WHERE rn = 1
+)
+SELECT p.source, p.n_docs, p.n_unique,
+       ROUND(1.0 - p.n_unique / CAST(p.n_docs AS DOUBLE), 6) AS dup_ratio,
+       p.avg_chars, tl.top_lang
+FROM per_src p JOIN tl ON p.source = tl.source
+"""
+
+
 CURATION_QUERIES = {
+    "compression_ratio": (
+        compression_ratio,
+        _curation_golden_sql("compression_ratio"),
+    ),
+    "host_quality_report": (host_quality_report, HOST_QUALITY_SQL),
     "dedup_paragraphs": (dedup_paragraphs, DEDUP_PARAGRAPHS_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "url_canonicalize": (url_canonicalize, URL_CANON_SQL),

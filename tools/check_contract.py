@@ -25,7 +25,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
 # golden-snapshot oracles are generated for sf0.01 inputs only
 GOLDEN_ONLY_AT_001 = {
     "det_grouped_postprocess", "detection_map", "det_confusion_matrix",
-    "refine_region_scores",
+    "refine_region_scores", "compression_ratio",
 }
 
 

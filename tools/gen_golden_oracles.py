@@ -244,6 +244,27 @@ def gen_refine_region_scores() -> pa.Table:
     )
 
 
+def gen_compression_ratio() -> pa.Table:
+    """zlib(level 6) compressibility per document — single-process
+    twin of queries_curation.compression_ratio's Arrow kernel."""
+    import zlib
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+    raw = [t.encode("utf-8") for t in docs["text"]]
+    comp = [len(zlib.compress(b, 6)) for b in raw]
+    n = [len(b) for b in raw]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs["doc_id"].astype("int64")),
+            "n_bytes": pa.array(n, pa.int64()),
+            "comp_bytes": pa.array(comp, pa.int64()),
+            "ratio": pa.array(
+                [round(c / b, 6) for c, b in zip(comp, n)], pa.float64()
+            ),
+        }
+    )
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     for name, gen in (
@@ -251,6 +272,7 @@ def main() -> None:
         ("detection_map", gen_detection_map),
         ("det_confusion_matrix", gen_det_confusion_matrix),
         ("refine_region_scores", gen_refine_region_scores),
+        ("compression_ratio", gen_compression_ratio),
     ):
         table = gen()
         path = os.path.join(OUT_DIR, f"{name}.parquet")
