@@ -260,3 +260,52 @@ def windowed_region_counts(
             "n_regions",
         )
     )
+
+
+# --- streaming WARC ingest ---------------------------------------------------
+
+WARC_BLOB_DDL = "file_id long, blob binary"
+
+WARC_RECORDS_DDL = (
+    "file_id long, rec_index long, uri string, warc_date string, "
+    "payload binary"
+)
+
+
+def warc_records_kernel(batches):
+    """Arrow-batched WARC explode: each input row is a whole WARC file
+    blob; output is one row per parsed record.  Stateless, so the same
+    kernel serves batch ingest and the continuous-crawl stream."""
+    import pandas as pd  # noqa: PLC0415
+
+    from .warc import parse_warc  # noqa: PLC0415
+
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "file_id": [], "rec_index": [], "uri": [],
+            "warc_date": [], "payload": [],
+        }
+        for fid, blob in zip(pdf["file_id"], pdf["blob"]):
+            for i, rec in enumerate(parse_warc(bytes(blob))):
+                rows["file_id"].append(int(fid))
+                rows["rec_index"].append(i)
+                rows["uri"].append(rec["uri"])
+                rows["warc_date"].append(rec["date"])
+                rows["payload"].append(rec["payload"])
+        yield pd.DataFrame(rows)
+
+
+def read_warc_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Continuous crawl ingest: a file-source readStream of WARC file
+    blobs exploded to records by the shared Arrow kernel.  One blob =
+    one task-side parse, zero shuffle — the batch shape
+    (queries_curation.warc_roundtrip) and this stream are the same
+    kernel, so stream == batch by construction."""
+    blobs = (
+        spark.readStream.schema(WARC_BLOB_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return blobs.mapInPandas(warc_records_kernel, schema=WARC_RECORDS_DDL)

@@ -1,0 +1,86 @@
+"""Structural invariants of the curation-family operators that the
+value-hash gate can't express directly (cross-row properties)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_sequence_packing_partitions_token_stream(spark):
+    from doclayout_yolo_spark.queries_curation import sequence_packing
+
+    rows = sequence_packing(spark, SF_DIR).orderBy("doc_id").collect()
+    # spans tile the concatenated stream exactly: contiguous, gapless
+    assert rows[0]["tok_start"] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["tok_start"] == prev["tok_end"]
+    total = sum(r["n_tokens"] for r in rows)
+    assert rows[-1]["tok_end"] == total
+    for r in rows:
+        assert r["tok_end"] - r["tok_start"] == r["n_tokens"]
+        assert r["first_block"] == r["tok_start"] // 256
+        assert r["n_blocks"] >= 1
+
+
+def test_dedup_paragraphs_no_duplicate_kept_chunks(spark):
+    from doclayout_yolo_spark.queries_curation import CHUNK_W, dedup_paragraphs
+
+    rows = dedup_paragraphs(spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    seen: set[str] = set()
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        toks = docs[r["doc_id"]].split(" ")
+        chunks = [
+            " ".join(toks[i : i + CHUNK_W]) for i in range(0, len(toks), CHUNK_W)
+        ]
+        kept = [c for c in chunks if c not in seen]
+        seen.update(chunks)
+        # reassembled text == first-occurrence-filtered chunks joined
+        assert r["dedup_text"] == " ".join(kept)
+        assert r["n_kept"] == len(kept)
+
+
+def test_pagerank_mass_conservation(spark):
+    from doclayout_yolo_spark.queries_curation import link_graph_pagerank
+
+    rows = link_graph_pagerank(spark, SF_DIR).collect()
+    n = len(rows)
+    total = sum(r["pagerank"] for r in rows)
+    # no dangling nodes (out_deg >= 2 by construction) -> total rank ~ 1
+    assert abs(total - 1.0) < 1e-6
+    assert all(r["out_deg"] >= 2 for r in rows)
+    assert all(r["pagerank"] > 0 for r in rows)
+
+
+def test_weighted_sample_favors_longer_docs(spark):
+    from doclayout_yolo_spark.queries_curation import WS_K, weighted_sample
+
+    rows = weighted_sample(spark, SF_DIR).collect()
+    assert len(rows) == min(WS_K, 50)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    mean_sample = sum(r["n_chars"] for r in rows) / len(rows)
+    # length-weighted sampling must pull the mean up
+    assert mean_sample > mean_all
+
+
+def test_crawl_snapshot_diff_statuses(spark):
+    from doclayout_yolo_spark.queries_curation import crawl_snapshot_diff
+
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    rows = crawl_snapshot_diff(spark, SF_DIR).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["status"], []).append(r["doc_id"])
+    # docs at id%10==0 are new; id%13==0 phantoms vanished; id%7==0 (and
+    # not %10==0) changed
+    assert set(by["added"]) == {i for i in range(n) if i % 10 == 0}
+    assert set(by["removed"]) == {i + 1000000 for i in range(n) if i % 13 == 0}
+    assert set(by["changed"]) == {
+        i for i in range(n) if i % 7 == 0 and i % 10 != 0
+    }

@@ -355,3 +355,55 @@ def test_watermark_drops_late_events(spark, tmp_path_factory):
     # dropped, and the window was never re-emitted
     assert by_win.get(t0) == (1, 2), by_win
     assert sum(1 for r in rows if r["window_start"] == t0) == 1
+
+
+def test_warc_stream_equals_batch_parse(spark, tmp_path_factory):
+    # two WARC files streamed in -> the exact records a direct parse
+    # yields, exactly once, payload bytes intact
+    import pandas as pd
+
+    from doclayout_yolo_spark.streaming import (
+        WARC_RECORDS_DDL,
+        read_warc_stream,
+        warc_records_kernel,
+    )
+    from doclayout_yolo_spark.warc import build_warc, parse_warc
+
+    base = tmp_path_factory.mktemp("warcstream")
+    blobs = []
+    for fid in range(2):
+        recs = [
+            (
+                f"https://s{fid}.example/{i}",
+                "2026-02-01T00:00:00Z",
+                f"payload {fid}/{i} \r\nWARC/1.0 decoy".encode(),
+            )
+            for i in range(3)
+        ]
+        blobs.append((fid, build_warc(recs)))
+    in_dir = base / "in"
+    in_dir.mkdir()
+    for fid, blob in blobs:
+        pd.DataFrame({"file_id": [fid], "blob": [blob]}).to_parquet(
+            in_dir / f"f{fid}.parquet"
+        )
+    out_dir, ckpt = str(base / "out"), str(base / "ckpt")
+    q = (
+        read_warc_stream(spark, str(in_dir), max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["file_id"], r["rec_index"]): (r["uri"], bytes(r["payload"]))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (fid, i): (rec["uri"], rec["payload"])
+        for fid, blob in blobs
+        for i, rec in enumerate(parse_warc(blob))
+    }
+    assert got == want and len(got) == 6
