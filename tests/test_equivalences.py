@@ -96,3 +96,94 @@ def test_salted_tfidf_equals_plain_join(spark):
         .collect()
     }
     assert got == want and len(got) == 1500
+
+
+def test_two_phase_packing_equals_global_window(spark, tmp_path_factory):
+    # adversarial doc_id layout: ids sparse and shuffled across
+    # buckets, so bucket boundaries fall mid-stream everywhere
+    import numpy as np
+
+    from doclayout_yolo_spark.queries_curation import sequence_packing
+
+    rng = np.random.RandomState(11)
+    ids = np.sort(rng.choice(100000, size=3000, replace=False))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids.astype(np.int64),
+            "text": [
+                " ".join(["tok"] * int(k)) for k in rng.randint(1, 400, len(ids))
+            ],
+            "lang": "en",
+            "source": "s",
+            "n_chars": 1,
+        }
+    )
+    base = tmp_path_factory.mktemp("pack")
+    spark.createDataFrame(pdf).write.parquet(f"{base}/documents.parquet")
+
+    got = {
+        tuple(r) for r in sequence_packing(spark, str(base)).collect()
+    }
+    d = spark.read.parquet(f"{base}/documents.parquet").selectExpr(
+        "doc_id", "cast(size(split(text, ' ')) as long) AS n_tokens"
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    naive = d.withColumn("tok_end", F.sum("n_tokens").over(w)).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "tok_end - n_tokens AS tok_start",
+        "tok_end",
+        "(tok_end - n_tokens) div 256 AS first_block",
+        "(tok_end - 1) div 256 AS last_block",
+        "(tok_end - 1) div 256 - (tok_end - n_tokens) div 256 + 1 AS n_blocks",
+    ).select(
+        "doc_id", "n_tokens", "tok_start", "tok_end",
+        "first_block", "last_block", "n_blocks",
+    )
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want
+
+
+def test_windowed_dedup_paragraphs_equals_groupby_min(spark, tmp_path_factory):
+    # planted duplicate chunks across docs (incl. within-doc repeats):
+    # the window rewrite must match the naive min-owner + join-back form
+    import numpy as np
+
+    from doclayout_yolo_spark.queries_curation import CHUNK_W, dedup_paragraphs
+
+    rng = np.random.RandomState(13)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> dense collisions
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(5, 40)))
+        for _ in range(400)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "s",
+            "n_chars": 1,
+        }
+    )
+    base = tmp_path_factory.mktemp("pardedup")
+    spark.createDataFrame(pdf).write.parquet(f"{base}/documents.parquet")
+
+    got = {tuple(r) for r in dedup_paragraphs(spark, str(base)).collect()}
+
+    # naive reference computed single-process
+    seen: set[str] = set()
+    want = set()
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = text.split(" ")
+        chunks = [
+            " ".join(toks[i : i + CHUNK_W])
+            for i in range(0, len(toks), CHUNK_W)
+        ]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                kept.append(c)
+                seen.add(c)
+        want.add((int(doc_id), len(chunks), len(kept), " ".join(kept)))
+    assert got == want
