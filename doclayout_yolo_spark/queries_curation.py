@@ -52,7 +52,12 @@ def dedup_paragraphs(spark, sf_dir):
     at its globally FIRST occurrence (ordered by doc_id, then position);
     each document's text is reassembled from its surviving chunks.
     Output: doc_id, n_chunks, n_kept, dedup_text."""
-    d = _docs(spark, sf_dir)
+    return dedup_paragraphs_df(_docs(spark, sf_dir))
+
+
+def dedup_paragraphs_df(d):
+    """Core of :func:`dedup_paragraphs` over any (doc_id, text)
+    DataFrame — the form jobs/curate_job.py composes."""
     ch = d.selectExpr(
         "doc_id",
         f"posexplode(transform(sequence(0, cast(ceil(size(split(text, ' ')) / {CHUNK_W}) as int) - 1),"
@@ -137,7 +142,13 @@ PACK_BUCKET = 64   # docs per phase-1 partial-sum bucket
 
 
 def sequence_packing(spark, sf_dir):
-    d = _docs(spark, sf_dir).selectExpr(
+    return sequence_packing_df(_docs(spark, sf_dir))
+
+
+def sequence_packing_df(d):
+    """Core of :func:`sequence_packing` over any (doc_id, text)
+    DataFrame — the form jobs/curate_job.py composes."""
+    d = d.selectExpr(
         "doc_id",
         "cast(size(split(text, ' ')) as long) AS n_tokens",
         f"doc_id div {PACK_BUCKET} AS bucket",

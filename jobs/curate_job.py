@@ -1,0 +1,93 @@
+"""spark-submit entry point for the corpus-curation funnel: paragraph
+dedup -> quality gate -> sequence packing, writing a block-partitioned
+training-corpus table with a stats line — the batch companion to
+jobs/extract_job.py for the post-extraction half of the 100 TB
+pipeline.
+
+Usage (cluster):
+    python tools/make_pyfiles.py   # builds dist/doclayout_yolo_spark.zip
+    spark-submit --py-files dist/doclayout_yolo_spark.zip \
+        jobs/curate_job.py --input <dir containing documents.parquet> \
+        --output <output path> [--min-tokens 8] [--block 256]
+
+Local smoke:
+    spark-submit --master local[8] --py-files dist/doclayout_yolo_spark.zip \
+        jobs/curate_job.py --input /root/testdata/sf0.001 --output /tmp/cur_out
+
+Output layout: parquet partitioned by ``block_bucket`` (= first_block
+div 1024 — the Iceberg bucket-transform analog used across this repo),
+columns (doc_id, dedup_text, n_kept, n_tokens, tok_start, tok_end,
+first_block, last_block, n_blocks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(stop_session: bool = True) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="dir with documents.parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-tokens", type=int, default=8)
+    p.add_argument("--block", type=int, default=None, help="(informational)")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from doclayout_yolo_spark.queries_curation import (
+        dedup_paragraphs_df,
+        sequence_packing_df,
+    )
+
+    spark = SparkSession.builder.appName("doclayout-curate").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = spark.read.parquet(f"{args.input}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_in = docs.count()
+
+    dd = dedup_paragraphs_df(docs)
+    kept = dd.filter(F.col("n_kept") > 0).select(
+        "doc_id", F.col("dedup_text"), "n_kept"
+    )
+    gated = kept.filter(
+        F.size(F.split("dedup_text", " ")) >= args.min_tokens
+    )
+    packed = sequence_packing_df(
+        gated.select("doc_id", F.col("dedup_text").alias("text"))
+    )
+    out = gated.join(packed, "doc_id").withColumn(
+        "block_bucket", F.expr("first_block div 1024")
+    )
+    (
+        out.write.mode("overwrite")
+        .partitionBy("block_bucket")
+        .parquet(args.output)
+    )
+
+    written = spark.read.parquet(args.output)
+    agg = written.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max("last_block") + 1).alias("n_blocks"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "n_input_docs": n_in,
+                "n_output_docs": agg["n_docs"],
+                "total_tokens": int(agg["total_tokens"]),
+                "n_blocks": int(agg["n_blocks"]),
+            }
+        )
+    )
+    if stop_session:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

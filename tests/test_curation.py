@@ -84,3 +84,31 @@ def test_crawl_snapshot_diff_statuses(spark):
     assert set(by["changed"]) == {
         i for i in range(n) if i % 7 == 0 and i % 10 != 0
     }
+
+
+def test_curate_job_end_to_end(spark, tmp_path_factory, monkeypatch):
+    # the spark-submit funnel (dedup -> gate -> pack -> partitioned
+    # write), driven in-process against the shared session
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import curate_job
+
+    out = str(tmp_path_factory.mktemp("curate") / "out")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["curate_job.py", "--input", SF_DIR, "--output", out],
+    )
+    curate_job.main(stop_session=False)
+    written = spark.read.parquet(out)
+    assert "block_bucket" in written.columns  # partition column survives
+    rows = written.collect()
+    assert len(rows) > 0
+    # packing invariants hold over the DEDUPED corpus
+    by_id = sorted(rows, key=lambda r: r["doc_id"])
+    for prev, cur in zip(by_id, by_id[1:]):
+        assert cur["tok_start"] == prev["tok_end"]
+    for r in rows:
+        assert len(r["dedup_text"].split(" ")) == r["n_tokens"]
+        assert r["n_tokens"] >= 8  # quality gate applied
