@@ -439,6 +439,7 @@ def nfc_normalize(spark, sf_dir):
     )
 
     def kernel(batches):
+        import hashlib  # noqa: PLC0415
         import unicodedata  # noqa: PLC0415
 
         import pandas as pd  # noqa: PLC0415
@@ -453,9 +454,7 @@ def nfc_normalize(spark, sf_dir):
                     "len_raw": pdf["raw"].str.len().astype("int64"),
                     "len_nfc": norm.str.len().astype("int64"),
                     "nfc_md5": norm.map(
-                        lambda x: __import__("hashlib")
-                        .md5(x.encode("utf-8"))
-                        .hexdigest()
+                        lambda x: hashlib.md5(x.encode("utf-8")).hexdigest()
                     ),
                 }
             )

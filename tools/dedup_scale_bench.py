@@ -67,6 +67,7 @@ def build_10x(spark) -> None:
 
 
 def main() -> None:
+    from doclayout_yolo_spark.queries_curation import dedup_paragraphs
     from doclayout_yolo_spark.queries_text import (
         _capped_shingles,
         dedup_jaccard_lsh,
@@ -96,6 +97,7 @@ def main() -> None:
             ("dedup_minhash_lsh", dedup_minhash_lsh),
             ("dedup_jaccard_lsh", dedup_jaccard_lsh),
             ("dedup_ngram_jaccard", dedup_ngram_jaccard),
+            ("dedup_paragraphs", dedup_paragraphs),
         ):
             best, n_out = float("inf"), None
             for _ in range(2):
