@@ -776,12 +776,161 @@ FROM per_src p JOIN tl ON p.source = tl.source
 """
 
 
+# --- temperature-based language sampling (mC4 / CC-100 alpha mix) ------------
+#
+# Multilingual pretraining rebalances languages with p_l proportional to
+# (n_l / N)^alpha (alpha < 1 upsamples the tail; Conneau et al., 2020;
+# mC4 uses alpha ~ 0.3).  Output: per-language corpus share, sampling
+# probability, and expected docs for a fixed budget.  Parity: the
+# powered weights are rounded then summed as exact decimals so the
+# normalizing constant is order-independent.  Scale: two tiny
+# aggregations over a language-cardinality table.
+
+LANG_ALPHA = 0.3
+LANG_BUDGET = 1000
+
+
+def lang_temperature_sample(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_df = d.agg(F.count("*").alias("n"))
+    w = counts.crossJoin(F.broadcast(n_df)).withColumn(
+        "w",
+        F.round(
+            F.pow(F.col("n_docs") / F.col("n").cast("double"), LANG_ALPHA), 12
+        ),
+    )
+    z = w.agg(
+        F.sum(F.col("w").cast("decimal(20,15)")).alias("z")
+    )
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("n").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round(F.col("w") / F.col("z").cast("double"), 6).alias(
+                "p_sample"
+            ),
+            F.round(
+                F.col("w") / F.col("z").cast("double") * LANG_BUDGET, 3
+            ).alias("expected_docs"),
+        )
+    )
+
+
+LANG_TEMPERATURE_SQL = f"""
+WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+w AS (
+  SELECT lang, n_docs,
+         round(pow(n_docs / CAST(n AS DOUBLE), CAST({LANG_ALPHA} AS DOUBLE)),
+               12) AS w,
+         n
+  FROM c, nn
+),
+z AS (SELECT SUM(CAST(w AS DECIMAL(20,15))) AS z FROM w)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_docs / CAST(n AS DOUBLE), 6) AS share,
+       round(w / CAST(z AS DOUBLE), 6) AS p_sample,
+       round(w / CAST(z AS DOUBLE) * {LANG_BUDGET}, 3) AS expected_docs
+FROM w, z
+"""
+
+
+# --- sketch accuracy: HLL approx-distinct vs exact ---------------------------
+#
+# The cardinality-sketch op a 100 TB profiler leans on (HyperLogLog:
+# O(1) memory per group vs a full distinct shuffle).  Spark's HLL++ and
+# DuckDB's HLL produce different estimates by design, so the contract
+# compares what IS deterministic: the exact count and a boolean that
+# each engine's own sketch lands within 10% of it — the accuracy
+# contract the sketch advertises, verified in both engines
+# independently.
+
+
+def approx_distinct_accuracy(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+            F.approx_count_distinct("user_id").alias("approx"),
+        )
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx") - F.col("exact_distinct"))
+                / F.col("exact_distinct").cast("double")
+                <= 0.10
+            ).alias("sketch_within_10pct"),
+        )
+    )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_distinct,
+       abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+         / CAST(COUNT(DISTINCT user_id) AS DOUBLE) <= 0.10
+         AS sketch_within_10pct
+FROM events GROUP BY event_type
+"""
+
+
+# --- inverted index build ----------------------------------------------------
+#
+# The IR primitive behind decontamination and retrieval tooling: per
+# term, document frequency, total term frequency, and the head of the
+# sorted posting list.  Scale: one explode + one groupBy(term) with
+# map-side partial aggregation; posting lists are capped (head-5) so
+# stopword-grade terms can't blow up a reducer's output row.
+
+
+def inverted_index(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.length("term") > 0)
+    return words.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.count("*").cast("long").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 5),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+
+
+INVERTED_INDEX_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term,
+       COUNT(DISTINCT doc_id) AS df,
+       COUNT(*) AS total_tf,
+       array_to_string(list_sort(list(DISTINCT doc_id))[1:5], ',')
+         AS postings_head
+FROM w WHERE LENGTH(term) > 0 GROUP BY term
+"""
+
+
 CURATION_QUERIES = {
     "compression_ratio": (
         compression_ratio,
         _curation_golden_sql("compression_ratio"),
     ),
     "host_quality_report": (host_quality_report, HOST_QUALITY_SQL),
+    "lang_temperature_sample": (lang_temperature_sample, LANG_TEMPERATURE_SQL),
+    "approx_distinct_accuracy": (approx_distinct_accuracy, APPROX_DISTINCT_SQL),
+    "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
     "dedup_paragraphs": (dedup_paragraphs, DEDUP_PARAGRAPHS_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "url_canonicalize": (url_canonicalize, URL_CANON_SQL),
