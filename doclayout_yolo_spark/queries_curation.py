@@ -145,9 +145,10 @@ def sequence_packing(spark, sf_dir):
     return sequence_packing_df(_docs(spark, sf_dir))
 
 
-def sequence_packing_df(d):
+def sequence_packing_df(d, block: int = PACK_BLOCK):
     """Core of :func:`sequence_packing` over any (doc_id, text)
-    DataFrame — the form jobs/curate_job.py composes."""
+    DataFrame — the form jobs/curate_job.py composes; ``block`` is the
+    training-block token size."""
     d = d.selectExpr(
         "doc_id",
         "cast(size(split(text, ' ')) as long) AS n_tokens",
@@ -175,10 +176,10 @@ def sequence_packing_df(d):
         "n_tokens",
         tok_start.alias("tok_start"),
         tok_end.alias("tok_end"),
-        F.floor(tok_start / PACK_BLOCK).alias("first_block"),
-        F.floor((tok_end - 1) / PACK_BLOCK).alias("last_block"),
+        F.floor(tok_start / block).alias("first_block"),
+        F.floor((tok_end - 1) / block).alias("last_block"),
         (
-            F.floor((tok_end - 1) / PACK_BLOCK) - F.floor(tok_start / PACK_BLOCK) + 1
+            F.floor((tok_end - 1) / block) - F.floor(tok_start / block) + 1
         ).alias("n_blocks"),
     )
 
@@ -628,8 +629,10 @@ def crawl_snapshot_diff(spark, sf_dir):
             ).otherwise(F.col("text"))
         ).alias("prev_md5"),
     )
+    # phantom ids live in the negative domain so they can never collide
+    # with a real doc_id at any corpus size
     prev_gone = d.filter(F.pmod("doc_id", F.lit(13)) == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.md5("text").alias("prev_md5"),
     )
     prev = prev_kept.unionByName(prev_gone)
@@ -651,7 +654,7 @@ prev AS (
            AS prev_md5
   FROM documents WHERE doc_id % 10 <> 0
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, md5(text) AS prev_md5
+  SELECT -doc_id - 1 AS doc_id, md5(text) AS prev_md5
   FROM documents WHERE doc_id % 13 = 0
 )
 SELECT COALESCE(cur.doc_id, prev.doc_id) AS doc_id,
@@ -858,7 +861,9 @@ def approx_distinct_accuracy(spark, sf_dir):
         ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").cast("long").alias("exact_distinct"),
-            F.approx_count_distinct("user_id").alias("approx"),
+            # rsd pinned to 2% so the sketch sits well inside the 10%
+            # contract bound at any SF (DuckDB's HLL is similarly tight)
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
         )
         .select(
             "event_type",

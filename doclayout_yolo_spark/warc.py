@@ -82,6 +82,8 @@ def parse_warc(raw: bytes) -> list[dict]:
             clen = int(headers["content-length"])
         except (KeyError, ValueError):
             break
+        if clen < 0:
+            break  # malformed length: quarantine, never walk backwards
         if pos + clen > n:
             break
         payload = raw[pos : pos + clen]

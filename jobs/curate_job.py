@@ -31,7 +31,7 @@ def main(stop_session: bool = True) -> None:
     p.add_argument("--input", required=True, help="dir with documents.parquet")
     p.add_argument("--output", required=True)
     p.add_argument("--min-tokens", type=int, default=8)
-    p.add_argument("--block", type=int, default=None, help="(informational)")
+    p.add_argument("--block", type=int, default=256, help="tokens per training block")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,11 +54,15 @@ def main(stop_session: bool = True) -> None:
     kept = dd.filter(F.col("n_kept") > 0).select(
         "doc_id", F.col("dedup_text"), "n_kept"
     )
+    # persisted: both the packing input and the join's left side consume
+    # this subtree — without the cache the dedup window lineage (the
+    # job's dominant cost) would execute twice
     gated = kept.filter(
         F.size(F.split("dedup_text", " ")) >= args.min_tokens
-    )
+    ).persist()
     packed = sequence_packing_df(
-        gated.select("doc_id", F.col("dedup_text").alias("text"))
+        gated.select("doc_id", F.col("dedup_text").alias("text")),
+        block=args.block,
     )
     out = gated.join(packed, "doc_id").withColumn(
         "block_bucket", F.expr("first_block div 1024")
@@ -69,19 +73,22 @@ def main(stop_session: bool = True) -> None:
         .parquet(args.output)
     )
 
-    written = spark.read.parquet(args.output)
+    # explicit schema: an all-filtered (empty) output directory has no
+    # data files to infer from, but the job should still report stats
+    written = spark.read.schema(out.schema).parquet(args.output)
     agg = written.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         (F.max("last_block") + 1).alias("n_blocks"),
     ).first()
+    gated.unpersist()
     print(
         json.dumps(
             {
                 "n_input_docs": n_in,
                 "n_output_docs": agg["n_docs"],
-                "total_tokens": int(agg["total_tokens"]),
-                "n_blocks": int(agg["n_blocks"]),
+                "total_tokens": int(agg["total_tokens"] or 0),
+                "n_blocks": int(agg["n_blocks"] or 0),
             }
         )
     )

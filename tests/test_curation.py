@@ -80,7 +80,7 @@ def test_crawl_snapshot_diff_statuses(spark):
     # docs at id%10==0 are new; id%13==0 phantoms vanished; id%7==0 (and
     # not %10==0) changed
     assert set(by["added"]) == {i for i in range(n) if i % 10 == 0}
-    assert set(by["removed"]) == {i + 1000000 for i in range(n) if i % 13 == 0}
+    assert set(by["removed"]) == {-i - 1 for i in range(n) if i % 13 == 0}
     assert set(by["changed"]) == {
         i for i in range(n) if i % 7 == 0 and i % 10 != 0
     }

@@ -67,3 +67,8 @@ def test_roundtrip_property(items):
     assert [(r["uri"], r["payload"]) for r in out] == [
         (u, p) for u, _, p in recs
     ]
+
+
+def test_negative_content_length_quarantines():
+    bad = b"WARC/1.0\r\nWARC-Target-URI: u\r\nContent-Length: -4\r\n\r\ntailbytes"
+    assert parse_warc(bad) == []
