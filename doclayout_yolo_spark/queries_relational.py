@@ -526,7 +526,139 @@ def sql_api_region_revenue(spark, sf_dir):
     return spark.sql(Q5_SQL)
 
 
+# --- late-shipment priority check (TPC-H q4 shape: EXISTS semi-join) ---------
+
+
+def priority_late_orders(spark, sf_dir):
+    """Orders counted per priority when AT LEAST ONE lineitem shipped
+    after the order date — the q4 EXISTS-correlated-subquery shape,
+    rendered as a left-semi join (what Catalyst rewrites EXISTS to).
+    Scale: semi join keyed by orderkey (no row multiplication from
+    multi-line orders), then a tiny priority aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            late,
+            (o.o_orderkey == late.l_orderkey)
+            & (late.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --- promo revenue share (TPC-H q14 shape: conditional aggregation) ----------
+
+
+def promo_revenue_share(spark, sf_dir):
+    """Share of revenue from PROMO parts — the conditional-aggregation
+    ratio.  Broadcast the part dim; money math follows the decimal
+    conventions so both engines agree bitwise."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = _money(F.col("l_extendedprice"), 1.0 - F.col("l_discount"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_pct"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(CAST(100.0 AS DOUBLE)
+         * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+                               * CAST(1.0 - l_discount AS DECIMAL(9,4)), 4)
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1.0 - l_discount AS DECIMAL(9,4)), 4))
+                AS DOUBLE), 6) AS promo_pct,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+# --- dormant high-balance customers (TPC-H q22 shape: anti-join + scalar sub) --
+
+
+def dormant_rich_customers(spark, sf_dir):
+    """Per-nation count and total balance of customers whose account
+    balance beats the global positive-balance average but who placed no
+    order since 2000-06-01 (dormant) — the q22 anti-join +
+    scalar-subquery shape.  The 1-row average enters via a broadcast
+    cross join; the anti join is keyed by custkey with the date filter
+    pushed to the orders scan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-06-01"
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(F.sum(_dec(F.col("c_acctbal"))).cast("double"), 4).alias(
+            "total_bal"
+        ),
+    )
+
+
+Q22_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY c_nationkey
+"""
+
+
 RELATIONAL_QUERIES = {
+    "priority_late_orders": (priority_late_orders, Q4_SQL),
+    "promo_revenue_share": (promo_revenue_share, Q14_SQL),
+    "dormant_rich_customers": (dormant_rich_customers, Q22_SQL),
     "sql_api_region_revenue": (sql_api_region_revenue, Q5_SQL),
     "small_quantity_revenue": (small_quantity_revenue, Q17_SQL),
     "returned_item_revenue": (returned_item_revenue, Q10_SQL),
