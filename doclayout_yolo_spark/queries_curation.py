@@ -891,9 +891,18 @@ FROM events GROUP BY event_type
 #
 # The IR primitive behind decontamination and retrieval tooling: per
 # term, document frequency, total term frequency, and the head of the
-# sorted posting list.  Scale: one explode + one groupBy(term) with
-# map-side partial aggregation; posting lists are capped (head-5) so
-# stopword-grade terms can't blow up a reducer's output row.
+# sorted posting list.
+#
+# Scale: df/tf come from counting aggregations (map-side combinable;
+# Zipfian hot terms collapse in partial aggregation).  Posting lists
+# are materialized ONLY for terms under a df cap — the stop-listing
+# fence real indexes apply: a first cut ran collect_set over every
+# term, which buffers a stopword-grade term's ENTIRE posting list on
+# one reducer before slicing; with the fence, reducer memory is
+# bounded by POSTING_DF_CAP and hot terms report an empty head (their
+# postings would be the whole corpus anyway).
+
+POSTING_DF_CAP = 300
 
 
 def inverted_index(spark, sf_dir):
@@ -901,29 +910,58 @@ def inverted_index(spark, sf_dir):
     words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).where(F.length("term") > 0)
-    return words.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("long").alias("df"),
-        F.count("*").cast("long").alias("total_tf"),
-        F.array_join(
-            F.transform(
-                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 5),
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        ).alias("postings_head"),
+    td = words.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    stats = td.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    heads = (
+        td.join(
+            stats.filter(F.col("df") <= POSTING_DF_CAP).select("term"),
+            "term",
+            "left_semi",
+        )
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head")
+        )
+    )
+    return stats.join(heads, "term", "left").select(
+        "term",
+        "df",
+        "total_tf",
+        F.coalesce("postings_head", F.lit("")).alias("postings_head"),
     )
 
 
-INVERTED_INDEX_SQL = """
+INVERTED_INDEX_SQL = f"""
 WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+td AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM w
+  WHERE LENGTH(term) > 0 GROUP BY term, doc_id
+),
+stats AS (
+  SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf FROM td GROUP BY term
+),
+heads AS (
+  SELECT td.term,
+         array_to_string(list_sort(list(td.doc_id))[1:5], ',')
+           AS postings_head
+  FROM td JOIN stats ON td.term = stats.term
+  WHERE stats.df <= {POSTING_DF_CAP}
+  GROUP BY td.term
 )
-SELECT term,
-       COUNT(DISTINCT doc_id) AS df,
-       COUNT(*) AS total_tf,
-       array_to_string(list_sort(list(DISTINCT doc_id))[1:5], ',')
-         AS postings_head
-FROM w WHERE LENGTH(term) > 0 GROUP BY term
+SELECT stats.term, stats.df, CAST(stats.total_tf AS BIGINT) AS total_tf,
+       COALESCE(heads.postings_head, '') AS postings_head
+FROM stats LEFT JOIN heads ON stats.term = heads.term
 """
 
 
