@@ -965,7 +965,125 @@ FROM stats LEFT JOIN heads ON stats.term = heads.term
 """
 
 
+# --- event funnel (ordered-sequence analytics) -------------------------------
+#
+# The conversion-funnel primitive (view -> click -> purchase, each step
+# strictly after the previous one's first occurrence) — the
+# MATCH_RECOGNIZE-style sequence query rendered as three conditional
+# min-aggregations, all user-keyed and map-side combinable; no
+# per-user window sort, no collect.  Timestamps leave as epoch micros
+# (the cross-engine-safe representation).
+
+
+def event_funnel(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.when(F.col("t_view").isNull(), 0)
+                .when(F.col("t_click").isNull(), 1)
+                .when(F.col("t_purchase").isNull(), 2)
+                .otherwise(3)
+            ).cast("long").alias("reached_step"),
+        )
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+v AS (SELECT user_id, MIN(us) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT ev.user_id, MIN(us) AS t_click FROM ev
+      JOIN v ON ev.user_id = v.user_id
+      WHERE event_type = 'click' AND us > t_view GROUP BY ev.user_id),
+p AS (SELECT ev.user_id, MIN(us) AS t_purchase FROM ev
+      JOIN c ON ev.user_id = c.user_id
+      WHERE event_type = 'purchase' AND us > t_click GROUP BY ev.user_id)
+SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(CASE WHEN v.t_view IS NULL THEN 0
+                 WHEN c.t_click IS NULL THEN 1
+                 WHEN p.t_purchase IS NULL THEN 2
+                 ELSE 3 END AS BIGINT) AS reached_step
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+# --- quantile sketch accuracy (approx_percentile vs exact) -------------------
+#
+# The percentile twin of approx_distinct_accuracy: Spark's
+# Greenwald-Khanna approx_percentile and DuckDB's t-digest
+# approx_quantile are different sketches, so the gate compares the
+# exact interpolated median (rounded) plus each engine's own
+# within-5% flag — the accuracy contract, engine-independently
+# verified.
+
+
+def approx_quantile_accuracy(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("exact_med"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("approx"),
+        )
+        .select(
+            "event_type",
+            F.round("exact_med", 6).alias("exact_median"),
+            (
+                F.abs(F.col("approx") - F.col("exact_med"))
+                / F.abs("exact_med")
+                <= 0.05
+            ).alias("sketch_within_5pct"),
+        )
+    )
+
+
+APPROX_QUANTILE_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS exact_median,
+       abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+         / abs(quantile_cont(value, 0.5)) <= 0.05 AS sketch_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
 CURATION_QUERIES = {
+    "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
+    "approx_quantile_accuracy": (approx_quantile_accuracy, APPROX_QUANTILE_SQL),
     "compression_ratio": (
         compression_ratio,
         _curation_golden_sql("compression_ratio"),
