@@ -420,6 +420,64 @@ LEFT JOIN ind ON r1.doc_id = ind.dst
 """
 
 
+# --- triangle counting over the link graph -----------------------------------
+#
+# The other classic distributed graph kernel next to PageRank: count
+# triangles per node on the undirected version of the same synthetic
+# link graph.  Degree-ordered orientation (every edge stored once as
+# lo < hi, wedges closed only in one direction) enumerates each
+# triangle exactly once — the standard MapReduce triangle-enumeration
+# shape: two vertex-keyed equi-joins, no windows, no collect.
+
+
+def link_graph_triangles(spark, sf_dir):
+    nodes = _pr_nodes(spark, sf_dir)
+    und = (
+        nodes.select("doc_id", F.explode("targets").alias("dst"))
+        .selectExpr(
+            "least(doc_id, dst) AS lo", "greatest(doc_id, dst) AS hi"
+        )
+        .distinct()
+    )
+    e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tris.selectExpr("stack(3, a, b, c) AS doc_id")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return per_node
+
+
+TRIANGLES_SQL = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (
+  SELECT doc_id,
+         list_filter([(doc_id * 7 + k) % n FOR k IN range(1, 4)],
+                     t -> t != doc_id) AS targets
+  FROM documents, nn
+),
+und AS (
+  SELECT DISTINCT least(doc_id, dst) AS lo, greatest(doc_id, dst) AS hi
+  FROM (SELECT doc_id, unnest(targets) AS dst FROM nodes)
+),
+tris AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1
+  JOIN und e2 ON e1.hi = e2.lo
+  JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+m AS (
+  SELECT a AS doc_id FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+)
+SELECT doc_id, COUNT(*) AS n_triangles FROM m GROUP BY doc_id
+"""
+
+
 # --- Unicode NFC normalization -----------------------------------------------
 #
 # The first step of any real text-curation pipeline (combining marks ->
@@ -1096,6 +1154,7 @@ CURATION_QUERIES = {
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "url_canonicalize": (url_canonicalize, URL_CANON_SQL),
     "link_graph_pagerank": (link_graph_pagerank, PAGERANK_SQL),
+    "link_graph_triangles": (link_graph_triangles, TRIANGLES_SQL),
     "nfc_normalize": (nfc_normalize, NFC_SQL),
     "weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
     "warc_roundtrip": (warc_roundtrip, WARC_SQL),
