@@ -1,8 +1,12 @@
 """Corpus-curation operators round 2: the training-data-pipeline ops a
 100 TB pretrain corpus build needs beyond dedup/quality — paragraph
 (chunk-hash) dedup with text reassembly, sequence packing into fixed
-token blocks, and URL canonicalization (PII redaction lives in
-queries_text.redact_pii).
+token blocks, URL canonicalization, link-graph PageRank and triangle
+counting, Unicode NFC normalization, weighted sampling, WARC
+round-trip ingest, crawl snapshot diff, zlib compressibility,
+per-source quality reporting, temperature language sampling, sketch
+accuracy contracts (HLL, quantile), an inverted index, and an event
+funnel (PII redaction lives in queries_text.redact_pii).
 
 Every query here is a `queries()` contract entry with a DuckDB oracle;
 all heavy expressions are JVM-side Catalyst (no Python in the hot
