@@ -112,3 +112,45 @@ def test_curate_job_end_to_end(spark, tmp_path_factory, monkeypatch):
     for r in rows:
         assert len(r["dedup_text"].split(" ")) == r["n_tokens"]
         assert r["n_tokens"] >= 8  # quality gate applied
+
+
+def test_curation_queries_tolerate_empty_corpus(spark, tmp_path_factory):
+    # an empty (but correctly-schema'd) corpus must yield empty results,
+    # never AnalysisException / div-by-zero / NPE — the partition-level
+    # reality at 100 TB (many empty splits, filtered-out shards)
+    import pandas as pd
+
+    from doclayout_yolo_spark.queries_curation import CURATION_QUERIES
+
+    base = tmp_path_factory.mktemp("empty")
+    empty_docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "text": pd.Series([], dtype="object"),
+            "lang": pd.Series([], dtype="object"),
+            "source": pd.Series([], dtype="object"),
+            "n_chars": pd.Series([], dtype="int64"),
+        }
+    )
+    empty_events = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "value": pd.Series([], dtype="float64"),
+            "props": pd.Series([], dtype="object"),
+        }
+    )
+    spark.createDataFrame(
+        empty_docs,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{base}/documents.parquet")
+    spark.createDataFrame(
+        empty_events,
+        schema="event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{base}/events.parquet")
+    for name, (fn, _sql) in CURATION_QUERIES.items():
+        rows = fn(spark, str(base)).collect()
+        assert rows == [], f"{name} returned rows on an empty corpus"
