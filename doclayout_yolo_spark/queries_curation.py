@@ -1027,6 +1027,52 @@ FROM stats LEFT JOIN heads ON stats.term = heads.term
 """
 
 
+# --- JSONL export round-trip -------------------------------------------------
+#
+# JSONL is the lingua franca of training-data interchange: every doc
+# serialized as one JSON object per line, re-ingested by parsing the
+# line back.  Spark renders the export with to_json and re-parses with
+# from_json (schema-on-read); the oracle mirrors with DuckDB's json
+# functions.  The md5 over the reparsed text proves the round-trip is
+# byte-exact (JSON string escaping included).  Scale: map-only, no
+# shuffle — the exact shape of a corpus export job.
+
+
+def jsonl_export_roundtrip(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    line = F.to_json(
+        F.struct(
+            F.col("doc_id"), F.col("lang"), F.col("text")
+        )
+    )
+    parsed = F.from_json(
+        line, "doc_id long, lang string, text string"
+    )
+    return d.select(
+        "doc_id",
+        F.length(line).cast("long").alias("line_len"),
+        parsed["lang"].alias("lang_rt"),
+        F.md5(F.encode(parsed["text"], "utf-8")).alias("text_md5_rt"),
+        (parsed["doc_id"] == F.col("doc_id")).alias("id_ok"),
+    )
+
+
+JSONL_SQL = """
+WITH j AS (
+  SELECT doc_id,
+         to_json(struct_pack(doc_id := doc_id, lang := lang, text := text))
+           AS line
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LENGTH(line) AS BIGINT) AS line_len,
+       json_extract_string(line, '$.lang') AS lang_rt,
+       md5(json_extract_string(line, '$.text')) AS text_md5_rt,
+       CAST(json_extract(line, '$.doc_id') AS BIGINT) = doc_id AS id_ok
+FROM j
+"""
+
+
 # --- event funnel (ordered-sequence analytics) -------------------------------
 #
 # The conversion-funnel primitive (view -> click -> purchase, each step
@@ -1144,6 +1190,7 @@ FROM events GROUP BY event_type
 
 
 CURATION_QUERIES = {
+    "jsonl_export_roundtrip": (jsonl_export_roundtrip, JSONL_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
     "approx_quantile_accuracy": (approx_quantile_accuracy, APPROX_QUANTILE_SQL),
     "compression_ratio": (
