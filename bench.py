@@ -49,6 +49,8 @@ HEADLINE = [
     "dedup_paragraphs",
     "warc_roundtrip",
     "link_graph_pagerank",
+    "event_funnel",
+    "inverted_index",
 ]
 
 N_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000"))
