@@ -81,7 +81,7 @@ def run_at(cpus: int, n: int) -> dict:
     return json.loads(line)
 
 
-REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
 
 
 def main() -> None:
@@ -90,10 +90,11 @@ def main() -> None:
     # +-18% between back-to-back runs of identical code (measured 2->8
     # efficiency 0.665..0.857 across 4 runs on 2026-08-17).  Mixing the
     # best WALL per level across repetitions skews the ratio (a lucky
-    # local[2] run tanks it), so each repetition runs the whole ladder
-    # in one host window, efficiency is computed per repetition, and
-    # the best repetition — the one closest to a quiet machine — is
-    # reported, with every repetition's efficiency disclosed.
+    # local[2] run tanks it), and taking the max-efficiency repetition
+    # is upward-biased (it prefers runs whose local[2] DENOMINATOR was
+    # contaminated).  So: each repetition runs the whole ladder in one
+    # host window, efficiency is computed per repetition, and the
+    # MEDIAN repetition is reported with every repetition disclosed.
     reps = []
     for _rep in range(REPS):
         rep_res = {c: run_at(c, n) for c in LADDER}
@@ -105,7 +106,8 @@ def main() -> None:
         r["digest"] for _, rr in reps for r in rr.values()
     }
     all_effs = [round(e, 3) for e, _ in reps]
-    results = max(reps, key=lambda t: t[0])[1]
+    reps_sorted = sorted(reps, key=lambda t: t[0])
+    results = reps_sorted[len(reps_sorted) // 2][1]
     deterministic = len(all_digests) == 1
     eff_2_8 = (results[8]["docs_per_sec"] / results[2]["docs_per_sec"]) / 4.0
     eff_8_32 = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
@@ -113,7 +115,6 @@ def main() -> None:
         f"| local[{c}] | {r['wall_s']:.2f} | {r['docs_per_sec']:.1f} |"
         for c, r in results.items()
     )
-    reps_n = REPS
     md = f"""# BENCH — extraction throughput & scaling efficiency
 
 Generated by `tools/scaling_bench.py` on {time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())}.
@@ -128,7 +129,7 @@ rule's "N vs 4N executors" criterion (no real cluster available).
 {rows}
 
 **Primary N->4N pair: local[2] -> local[8], efficiency
-(T_8/T_2)/4 = {eff_2_8:.3f}** (target >= 0.8; best of {reps_n}
+(T_8/T_2)/4 = {eff_2_8:.3f}** (target >= 0.8; MEDIAN of {REPS}
 ladder repetitions, all repetitions: {all_effs}).
 
 Cross-parallelism determinism: output digest (order-insensitive md5
