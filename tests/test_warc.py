@@ -72,3 +72,20 @@ def test_roundtrip_property(items):
 def test_negative_content_length_quarantines():
     bad = b"WARC/1.0\r\nWARC-Target-URI: u\r\nContent-Length: -4\r\n\r\ntailbytes"
     assert parse_warc(bad) == []
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_parse_never_raises_on_garbage(raw):
+    # crawl archives contain arbitrary corruption; the parser must
+    # quarantine (return a prefix), never throw
+    out = parse_warc(raw)
+    assert isinstance(out, list)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=120), st.binary(max_size=200))
+def test_parse_valid_prefix_survives_garbage_suffix(payload, junk):
+    blob = build_warc([("https://a.example/x", "2026-01-01T00:00:00Z", payload)])
+    out = parse_warc(blob + junk)
+    assert out and out[0]["payload"] == payload
