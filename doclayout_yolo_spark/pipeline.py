@@ -300,9 +300,22 @@ def run_extraction_job(
     out = bucketed.repartition(parts, "part_id").mapInPandas(
         lambda it: _extract_batches(it, lineage_acc), schema=OUTPUT_DDL
     )
+    # Observation: the idiomatic Spark metrics hook — aggregates ride
+    # the write action itself (no second job), complementing the
+    # row-level lineage table with run-level counters
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    obs = Observation("extract_metrics")
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.length("extracted_text")).alias("chars"),
+        F.count(F.col("error")).alias("errors"),
+    )
     t0 = time.time()
     out.write.mode("append").partitionBy("part_id").parquet(data_path(output_path))
     wall = time.time() - t0
+    observed = obs.get
 
     # lineage + manifest (post-write: in Iceberg these rows join the
     # same atomic snapshot commit as the data files)
@@ -321,6 +334,9 @@ def run_extraction_job(
         "n_orphan_buckets_repaired": len(orphans),
         "wall_s": wall,
         "docs_per_sec": n_docs / wall if wall > 0 else 0.0,
+        "observed_rows": int(observed.get("rows", 0) or 0),
+        "observed_chars": int(observed.get("chars", 0) or 0),
+        "observed_errors": int(observed.get("errors", 0) or 0),
     }
 
 

@@ -154,3 +154,31 @@ def test_curation_queries_tolerate_empty_corpus(spark, tmp_path_factory):
     for name, (fn, _sql) in CURATION_QUERIES.items():
         rows = fn(spark, str(base)).collect()
         assert rows == [], f"{name} returned rows on an empty corpus"
+
+
+def test_curate_job_block_flag_changes_geometry(spark, tmp_path_factory, monkeypatch):
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import curate_job
+
+    outs = {}
+    for block in (64, 512):
+        out = str(tmp_path_factory.mktemp(f"blk{block}") / "o")
+        monkeypatch.setattr(
+            sys, "argv",
+            ["curate_job.py", "--input", SF_DIR, "--output", out,
+             "--block", str(block)],
+        )
+        curate_job.main(stop_session=False)
+        outs[block] = {
+            r["doc_id"]: (r["first_block"], r["n_blocks"])
+            for r in spark.read.parquet(out).collect()
+        }
+    # same docs, different block geometry: block counts shrink as the
+    # block size grows
+    some = next(iter(outs[64]))
+    assert outs[64].keys() == outs[512].keys()
+    assert sum(v[1] for v in outs[64].values()) > sum(
+        v[1] for v in outs[512].values()
+    )

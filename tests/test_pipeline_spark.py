@@ -249,3 +249,23 @@ def test_kernel_version_reprocessing(spark, tmp_path_factory):
     # and a plain resume still sees everything complete
     r2 = run_extraction_job(spark, pages, out, n_buckets=8)
     assert r2["n_docs"] == 0
+
+
+def test_observed_metrics_match_lineage(spark, tmp_path_factory):
+    # the Observation counters ride the write action and must agree
+    # with the lineage-accumulator totals — including on a fully
+    # resumed (zero-work) rerun
+    from doclayout_yolo_spark.fixtures import generate_pages_df
+    from doclayout_yolo_spark.pipeline import read_extracted, run_extraction_job
+
+    out = str(tmp_path_factory.mktemp("obs") / "o")
+    pages = generate_pages_df(spark, 60, partitions=4)
+    s = run_extraction_job(spark, pages, out, n_buckets=8)
+    assert s["observed_rows"] == s["n_docs"] == 60
+    assert s["observed_errors"] == 0
+    total_chars = sum(
+        len(r["extracted_text"]) for r in read_extracted(spark, out).collect()
+    )
+    assert s["observed_chars"] == total_chars
+    s2 = run_extraction_job(spark, pages, out, n_buckets=8)
+    assert s2["observed_rows"] == 0 and s2["observed_chars"] == 0
