@@ -1027,6 +1027,55 @@ FROM stats LEFT JOIN heads ON stats.term = heads.term
 """
 
 
+# --- z-order (Morton) layout keys --------------------------------------------
+#
+# The Iceberg/Delta data-layout primitive: interleave the bits of two
+# clustering dimensions so a range of z-values stays local in BOTH
+# dimensions — writing with repartitionByRange(zvalue) +
+# sortWithinPartitions(zvalue) then gives min/max-pruned scans for
+# predicates on either dimension.  Dimensions here: an 8-bit source
+# bucket and an 8-bit length quantile; the interleave is a pure
+# Catalyst `aggregate` fold (and the mirrored fold in DuckDB), no UDF.
+
+
+def zorder_layout(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = f"pmod({_H_SPARK.format(x='source')}, 256)"
+    b = "least(n_chars div 16, 255)"
+    z = (
+        "aggregate(sequence(0, 7), 0L, (acc, i) -> acc"
+        f" + shiftleft(shiftright({a}, i) & 1, 2 * i + 1)"
+        f" + shiftleft(shiftright({b}, i) & 1, 2 * i))"
+    )
+    return d.selectExpr(
+        "doc_id",
+        f"cast({a} as long) AS src_key",
+        f"cast({b} as long) AS len_key",
+        f"cast({z} as long) AS zvalue",
+        f"cast({z} div 2048 as long) AS zbucket",  # 32 range buckets
+    )
+
+
+ZORDER_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         {_H_DUCK.format(x="source")} % 256 AS a,
+         least(n_chars // 16, 255) AS b
+  FROM documents
+),
+z AS (
+  SELECT doc_id, a, b,
+         list_sum([(((a >> i) & 1) << (2 * i + 1))
+                   + (((b >> i) & 1) << (2 * i)) FOR i IN range(8)]) AS zvalue
+  FROM k
+)
+SELECT doc_id, CAST(a AS BIGINT) AS src_key, CAST(b AS BIGINT) AS len_key,
+       CAST(zvalue AS BIGINT) AS zvalue,
+       CAST(zvalue // 2048 AS BIGINT) AS zbucket
+FROM z
+"""
+
+
 # --- JSONL export round-trip -------------------------------------------------
 #
 # JSONL is the lingua franca of training-data interchange: every doc
@@ -1190,6 +1239,7 @@ FROM events GROUP BY event_type
 
 
 CURATION_QUERIES = {
+    "zorder_layout": (zorder_layout, ZORDER_SQL),
     "jsonl_export_roundtrip": (jsonl_export_roundtrip, JSONL_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
     "approx_quantile_accuracy": (approx_quantile_accuracy, APPROX_QUANTILE_SQL),
