@@ -182,3 +182,25 @@ def test_curate_job_block_flag_changes_geometry(spark, tmp_path_factory, monkeyp
     assert sum(v[1] for v in outs[64].values()) > sum(
         v[1] for v in outs[512].values()
     )
+
+
+def test_zorder_layout_gives_two_dimensional_locality(spark):
+    # writing range-partitioned by zvalue must confine any single
+    # src_key (and any single len_key band) to a small set of the 32
+    # z-buckets — the min/max-pruning property the layout exists for
+    from doclayout_yolo_spark.queries_curation import zorder_layout
+
+    rows = zorder_layout(spark, "/root/testdata/sf0.01").collect()
+    n_buckets = len({r["zbucket"] for r in rows})
+    assert n_buckets > 4  # data actually spreads over the z range
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src_key"], set()).add(r["zbucket"])
+    # each source bucket touches only a fraction of the z-buckets
+    worst = max(len(v) for v in by_src.values())
+    assert worst <= max(2, n_buckets // 2), (worst, n_buckets)
+    # z-value decodes back to its keys (interleave is invertible)
+    for r in rows[:50]:
+        a = sum(((r["zvalue"] >> (2 * i + 1)) & 1) << i for i in range(8))
+        b = sum(((r["zvalue"] >> (2 * i)) & 1) << i for i in range(8))
+        assert (a, b) == (r["src_key"], r["len_key"])
