@@ -204,3 +204,65 @@ def test_zorder_layout_gives_two_dimensional_locality(spark):
         a = sum(((r["zvalue"] >> (2 * i + 1)) & 1) << i for i in range(8))
         b = sum(((r["zvalue"] >> (2 * i)) & 1) << i for i in range(8))
         assert (a, b) == (r["src_key"], r["len_key"])
+
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_randomized_differential_vs_duckdb(spark, tmp_path_factory, seed):
+    # parity must hold on ARBITRARY corpora, not just the driver
+    # fixture: random doc tables (uneven lengths, repeated chunks,
+    # punctuation, sparse non-contiguous ids) run through both engines
+    import duckdb
+    import math
+
+    from doclayout_yolo_spark.queries_curation import CURATION_QUERIES
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(40, 120))
+    ids = np.sort(rng.choice(5000, size=n, replace=False)).astype(np.int64)
+    vocab = ["alpha", "beta", "gamma.", "d-4", "ee", "Zz"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(1, 60)))
+        for _ in range(n)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": texts,
+            "lang": rng.choice(["en", "de", "zh"], size=n),
+            "source": [f"s{int(x)}" for x in rng.randint(0, 5, n)],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    base = tmp_path_factory.mktemp(f"rnd{seed}")
+    spark.createDataFrame(pdf).write.parquet(f"{base}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{base}/documents.parquet/*.parquet')"
+    )
+
+    def norm(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else repr(v)
+        return str(v)
+
+    names = [
+        "dedup_paragraphs", "sequence_packing", "url_canonicalize",
+        "link_graph_pagerank", "inverted_index", "zorder_layout",
+        "weighted_sample", "host_quality_report",
+    ]
+    for name in names:
+        fn, sql = CURATION_QUERIES[name]
+        got = sorted(
+            tuple(norm(v) for v in r) for r in fn(spark, str(base)).collect()
+        )
+        want = sorted(
+            tuple(norm(v) for v in r) for r in con.execute(sql).fetchall()
+        )
+        assert got == want, f"{name} diverged on random corpus seed={seed}"
