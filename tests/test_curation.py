@@ -266,3 +266,61 @@ def test_randomized_differential_vs_duckdb(spark, tmp_path_factory, seed):
             tuple(norm(v) for v in r) for r in con.execute(sql).fetchall()
         )
         assert got == want, f"{name} diverged on random corpus seed={seed}"
+
+
+def test_randomized_differential_text_family(spark, tmp_path_factory):
+    # the dedup/fingerprint family has the most intricate parity code
+    # (hash folds, shingle caps, band buckets) — verify on one random
+    # corpus that none of it depends on the driver fixture's shape
+    import math
+
+    import duckdb
+
+    from doclayout_yolo_spark.contract import ALL_QUERIES
+
+    rng = np.random.RandomState(42)
+    n = 80
+    ids = np.sort(rng.choice(3000, size=n, replace=False)).astype(np.int64)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(3, 50)))
+        for _ in range(n)
+    ]
+    # plant exact + near duplicates so the dedup paths light up
+    texts[10] = texts[5]
+    texts[20] = texts[7] + " zeta"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": texts,
+            "lang": rng.choice(["en", "de", "fr"], size=n),
+            "source": [f"s{int(x)}" for x in rng.randint(0, 4, n)],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    base = tmp_path_factory.mktemp("rndtext")
+    spark.createDataFrame(pdf).write.parquet(f"{base}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{base}/documents.parquet/*.parquet')"
+    )
+
+    def norm(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else repr(v)
+        return str(v)
+
+    for name in [
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "simhash", "doc_rolling_fingerprint", "tfidf_top_terms",
+        "token_count", "repetition_ratio",
+    ]:
+        fn, sql = ALL_QUERIES[name]
+        got = sorted(
+            tuple(norm(v) for v in r) for r in fn(spark, str(base)).collect()
+        )
+        want = sorted(
+            tuple(norm(v) for v in r) for r in con.execute(sql).fetchall()
+        )
+        assert got == want, f"{name} diverged on random corpus"
