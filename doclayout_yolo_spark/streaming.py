@@ -310,19 +310,3 @@ def read_warc_stream(
     )
     return blobs.mapInPandas(warc_records_kernel, schema=WARC_RECORDS_DDL)
 
-
-def builtin_url_dedup(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """The built-in rendering of stateful_url_dedup: Spark 3.5+'s
-    dropDuplicatesWithinWatermark keeps first-seen urls with state
-    bounded by the watermark horizon — the engine-managed counterpart
-    to the applyInPandasWithState version (same semantics, less
-    control over per-key metadata)."""
-    return (
-        pages_stream.select(
-            "url",
-            F.col("warc_ts").cast("timestamp").alias("ts"),
-            F.length("html").alias("html_bytes"),
-        )
-        .withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["url"])
-    )

@@ -3,9 +3,52 @@ value-hash gate can't express directly (cross-row properties)."""
 
 from __future__ import annotations
 
+import math
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_LARGE = "/root/testdata/sf0.01"  # bigger corpus: z-bucket spread
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.join(_REPO, "jobs") not in sys.path:
+    sys.path.insert(0, os.path.join(_REPO, "jobs"))
+
+
+def _norm(v):
+    """Full-precision value normalization — same policy as
+    tools/check_contract.py (repr floats, nan sentinel)."""
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(v)
+    return str(v)
+
+
+def _duck_on(base) -> "object":
+    import duckdb  # noqa: PLC0415
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{base}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+def _assert_engines_agree(spark, con, base, queries, names):
+    for name in names:
+        fn, sql = queries[name]
+        got = sorted(
+            tuple(_norm(v) for v in r) for r in fn(spark, str(base)).collect()
+        )
+        want = sorted(
+            tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall()
+        )
+        assert got == want, f"{name} diverged on random corpus"
 
 
 def test_sequence_packing_partitions_token_stream(spark):
@@ -89,9 +132,6 @@ def test_crawl_snapshot_diff_statuses(spark):
 def test_curate_job_end_to_end(spark, tmp_path_factory, monkeypatch):
     # the spark-submit funnel (dedup -> gate -> pack -> partitioned
     # write), driven in-process against the shared session
-    import sys
-
-    sys.path.insert(0, "jobs")
     import curate_job
 
     out = str(tmp_path_factory.mktemp("curate") / "out")
@@ -118,8 +158,6 @@ def test_curation_queries_tolerate_empty_corpus(spark, tmp_path_factory):
     # an empty (but correctly-schema'd) corpus must yield empty results,
     # never AnalysisException / div-by-zero / NPE — the partition-level
     # reality at 100 TB (many empty splits, filtered-out shards)
-    import pandas as pd
-
     from doclayout_yolo_spark.queries_curation import CURATION_QUERIES
 
     base = tmp_path_factory.mktemp("empty")
@@ -157,9 +195,6 @@ def test_curation_queries_tolerate_empty_corpus(spark, tmp_path_factory):
 
 
 def test_curate_job_block_flag_changes_geometry(spark, tmp_path_factory, monkeypatch):
-    import sys
-
-    sys.path.insert(0, "jobs")
     import curate_job
 
     outs = {}
@@ -177,7 +212,6 @@ def test_curate_job_block_flag_changes_geometry(spark, tmp_path_factory, monkeyp
         }
     # same docs, different block geometry: block counts shrink as the
     # block size grows
-    some = next(iter(outs[64]))
     assert outs[64].keys() == outs[512].keys()
     assert sum(v[1] for v in outs[64].values()) > sum(
         v[1] for v in outs[512].values()
@@ -190,7 +224,7 @@ def test_zorder_layout_gives_two_dimensional_locality(spark):
     # z-buckets — the min/max-pruning property the layout exists for
     from doclayout_yolo_spark.queries_curation import zorder_layout
 
-    rows = zorder_layout(spark, "/root/testdata/sf0.01").collect()
+    rows = zorder_layout(spark, SF_DIR_LARGE).collect()
     n_buckets = len({r["zbucket"] for r in rows})
     assert n_buckets > 4  # data actually spreads over the z range
     by_src = {}
@@ -206,19 +240,11 @@ def test_zorder_layout_gives_two_dimensional_locality(spark):
         assert (a, b) == (r["src_key"], r["len_key"])
 
 
-import numpy as np
-import pandas as pd
-import pytest
-
-
 @pytest.mark.parametrize("seed", [3, 17, 99])
 def test_randomized_differential_vs_duckdb(spark, tmp_path_factory, seed):
     # parity must hold on ARBITRARY corpora, not just the driver
     # fixture: random doc tables (uneven lengths, repeated chunks,
     # punctuation, sparse non-contiguous ids) run through both engines
-    import duckdb
-    import math
-
     from doclayout_yolo_spark.queries_curation import CURATION_QUERIES
 
     rng = np.random.RandomState(seed)
@@ -240,42 +266,23 @@ def test_randomized_differential_vs_duckdb(spark, tmp_path_factory, seed):
     )
     base = tmp_path_factory.mktemp(f"rnd{seed}")
     spark.createDataFrame(pdf).write.parquet(f"{base}/documents.parquet")
-
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"parquet_scan('{base}/documents.parquet/*.parquet')"
+    _assert_engines_agree(
+        spark,
+        _duck_on(base),
+        base,
+        CURATION_QUERIES,
+        [
+            "dedup_paragraphs", "sequence_packing", "url_canonicalize",
+            "link_graph_pagerank", "inverted_index", "zorder_layout",
+            "weighted_sample", "host_quality_report",
+        ],
     )
-
-    def norm(v):
-        if isinstance(v, float):
-            return "nan" if math.isnan(v) else repr(v)
-        return str(v)
-
-    names = [
-        "dedup_paragraphs", "sequence_packing", "url_canonicalize",
-        "link_graph_pagerank", "inverted_index", "zorder_layout",
-        "weighted_sample", "host_quality_report",
-    ]
-    for name in names:
-        fn, sql = CURATION_QUERIES[name]
-        got = sorted(
-            tuple(norm(v) for v in r) for r in fn(spark, str(base)).collect()
-        )
-        want = sorted(
-            tuple(norm(v) for v in r) for r in con.execute(sql).fetchall()
-        )
-        assert got == want, f"{name} diverged on random corpus seed={seed}"
 
 
 def test_randomized_differential_text_family(spark, tmp_path_factory):
     # the dedup/fingerprint family has the most intricate parity code
     # (hash folds, shingle caps, band buckets) — verify on one random
     # corpus that none of it depends on the driver fixture's shape
-    import math
-
-    import duckdb
-
     from doclayout_yolo_spark.contract import ALL_QUERIES
 
     rng = np.random.RandomState(42)
@@ -300,27 +307,14 @@ def test_randomized_differential_text_family(spark, tmp_path_factory):
     )
     base = tmp_path_factory.mktemp("rndtext")
     spark.createDataFrame(pdf).write.parquet(f"{base}/documents.parquet")
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"parquet_scan('{base}/documents.parquet/*.parquet')"
+    _assert_engines_agree(
+        spark,
+        _duck_on(base),
+        base,
+        ALL_QUERIES,
+        [
+            "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+            "simhash", "doc_rolling_fingerprint", "tfidf_top_terms",
+            "token_count", "repetition_ratio",
+        ],
     )
-
-    def norm(v):
-        if isinstance(v, float):
-            return "nan" if math.isnan(v) else repr(v)
-        return str(v)
-
-    for name in [
-        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "simhash", "doc_rolling_fingerprint", "tfidf_top_terms",
-        "token_count", "repetition_ratio",
-    ]:
-        fn, sql = ALL_QUERIES[name]
-        got = sorted(
-            tuple(norm(v) for v in r) for r in fn(spark, str(base)).collect()
-        )
-        want = sorted(
-            tuple(norm(v) for v in r) for r in con.execute(sql).fetchall()
-        )
-        assert got == want, f"{name} diverged on random corpus"

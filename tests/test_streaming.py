@@ -408,38 +408,3 @@ def test_warc_stream_equals_batch_parse(spark, tmp_path_factory):
     }
     assert got == want and len(got) == 6
 
-
-def test_builtin_url_dedup_first_occurrence(spark, tmp_path_factory):
-    # dropDuplicatesWithinWatermark: re-crawled urls within the horizon
-    # are suppressed, one row per url survives
-    import pandas as pd
-
-    from doclayout_yolo_spark.fixtures import PAGES_DDL, generate_pages_pandas
-    from doclayout_yolo_spark.streaming import builtin_url_dedup
-
-    base = tmp_path_factory.mktemp("builtin_dedup")
-    pdf = generate_pages_pandas(30)
-    dup = pd.concat([pdf, pdf.head(10)], ignore_index=True)  # 10 re-crawls
-    in_dir = base / "in"
-    in_dir.mkdir()
-    spark.createDataFrame(dup, schema=PAGES_DDL).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(str(in_dir))
-    stream = (
-        spark.readStream.schema(PAGES_DDL)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(in_dir))
-    )
-    out_dir, ckpt = str(base / "out"), str(base / "ckpt")
-    q = (
-        builtin_url_dedup(stream)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    got = spark.read.parquet(out_dir).collect()
-    urls = [r["url"] for r in got]
-    assert len(urls) == len(set(urls)) == 30
