@@ -378,56 +378,81 @@ def _sigmoid32(x: np.ndarray) -> np.ndarray:
     return (1.0 / (1.0 + np.exp(-x.astype(np.float32)))).astype(np.float32)
 
 
-def _block_logits(b: Block) -> np.ndarray:
-    """Class logits for one block from tag prior + boilerplate
-    heuristics (link-density / text-density / tag-path — the
-    readability-spirit features of the north star)."""
-    logits = np.full(NC, -4.0, dtype=np.float32)
-    prior = _TAG_CLASS_PRIOR.get(b.tag, 1)
-    logits[prior] = np.float32(3.0)
-    ld = np.float32(b.link_density)
-    text_len = np.float32(min(len(b.text), 2000))
+def _batch_logits(blocks: list[Block]) -> np.ndarray:
+    """(nb, NC) class logits from tag prior + boilerplate heuristics
+    (link-density / text-density / tag-path — the readability-spirit
+    features of the north star).  Vectorized across blocks with the
+    SAME per-element float32 operation order as the original
+    one-block-at-a-time code, so every logit is bit-identical (pinned
+    by the golden byte-identity tests); only the string features
+    (tag prior, keyword scan) stay per-block Python."""
+    nb = len(blocks)
+    logits = np.full((nb, NC), -4.0, dtype=np.float32)
+    rows = np.arange(nb)
+    prior = np.array(
+        [_TAG_CLASS_PRIOR.get(b.tag, 1) for b in blocks], dtype=np.int64
+    )
+    logits[rows, prior] = np.float32(3.0)
+    ld = np.array([b.link_density for b in blocks], dtype=np.float32)
+    text_len_i = np.array([len(b.text) for b in blocks], dtype=np.int64)
+    text_len = np.minimum(text_len_i, 2000).astype(np.float32)
     # text-density proxy: chars per layout line
-    density = text_len / np.float32(max((b.y2 - b.y1) / 18.0, 1.0))
-    # boilerplate evidence
-    abandon = np.float32(-3.0)
-    if b.in_boiler:
-        abandon += np.float32(4.5)
+    span_h = np.array(
+        [max((b.y2 - b.y1) / 18.0, 1.0) for b in blocks], dtype=np.float32
+    )
+    density = text_len / span_h
+    # boilerplate evidence (op order matches the scalar original)
+    boiler = np.array([b.in_boiler for b in blocks], dtype=bool)
+    abandon = np.full(nb, -3.0, dtype=np.float32)
+    abandon[boiler] += np.float32(4.5)
     abandon += np.float32(6.0) * ld
-    if len(b.text) < 25 and ld > 0.3:
-        abandon += np.float32(1.5)
-    low = b.text.lower()
+    abandon[(text_len_i < 25) & (ld > 0.3)] += np.float32(1.5)
+    lows = [b.text.lower() for b in blocks]
     for kw in ("cookie", "subscribe", "copyright", "privacy", "all rights reserved"):
-        if kw in low:
-            abandon += np.float32(1.0)
-    logits[ABANDON_CLS] = abandon
+        hit = np.array([kw in low for low in lows], dtype=bool)
+        abandon[hit] += np.float32(1.0)
+    logits[:, ABANDON_CLS] = abandon
     # boilerplate evidence suppresses the content prior hard enough to
     # fall under CONF_THRES=0.25 (sigmoid(3.0 - 4.5) ~= 0.18): the class
     # filter only drops abandon-class detections, so the content-class
     # score of a boilerplate block must die at the confidence mask.
-    if b.in_boiler or ld > 0.5:
-        logits[prior] -= np.float32(4.5)
-    # very short plain-text blocks are weak evidence
-    if prior == 1 and len(b.text) < 15:
-        logits[prior] -= np.float32(1.0)
+    suppress = boiler | (ld > 0.5)
+    logits[rows[suppress], prior[suppress]] -= np.float32(4.5)
+    weak = (prior == 1) & (text_len_i < 15)
+    logits[rows[weak], prior[weak]] -= np.float32(1.0)
     # table-ish density bumps table score
-    if b.tag == "table":
-        logits[5] += np.float32(min(float(density) / 200.0, 1.0))
+    is_table = np.array([b.tag == "table" for b in blocks], dtype=bool)
+    if is_table.any():
+        bump = np.minimum(
+            density[is_table].astype(np.float64) / 200.0, 1.0
+        ).astype(np.float32)
+        logits[rows[is_table], 5] += bump
     return logits
 
 
-def _jitters(b: Block) -> np.ndarray:
-    """(JITTERS_PER_BLOCK, 2) deterministic jitter offsets for one
-    block's duplicate anchors, derived from the block's own content
-    hash (never from batch state).  Row 0 is the exact box."""
-    out = np.zeros((JITTERS_PER_BLOCK, 2), dtype=np.float32)
-    h = hashlib.md5(f"{b.idx}:{b.text[:64]}".encode()).digest()
-    w = max(b.x2 - b.x1, 1.0)
-    hh = max(b.y2 - b.y1, 1.0)
-    for j in range(1, JITTERS_PER_BLOCK):
-        out[j, 0] = np.float32((h[2 * j] / 255.0 - 0.5) * 0.04 * w)
-        out[j, 1] = np.float32((h[2 * j + 1] / 255.0 - 0.5) * 0.04 * hh)
-    return out
+def _batch_jitters(blocks: list[Block]) -> np.ndarray:
+    """(nb * JITTERS_PER_BLOCK, 2) deterministic jitter offsets,
+    derived from each block's own content hash (never from batch
+    state); row j=0 of every block is the exact box.  Same float64
+    arithmetic order as the scalar original, batch-cast to float32."""
+    nb = len(blocks)
+    j = JITTERS_PER_BLOCK
+    digests = np.frombuffer(
+        b"".join(
+            hashlib.md5(f"{b.idx}:{b.text[:64]}".encode()).digest()
+            for b in blocks
+        ),
+        dtype=np.uint8,
+    ).reshape(nb, 16)
+    w = np.array([max(b.x2 - b.x1, 1.0) for b in blocks])  # float64
+    hh = np.array([max(b.y2 - b.y1, 1.0) for b in blocks])
+    out = np.zeros((nb, j, 2), dtype=np.float32)
+    cols = np.arange(1, j)
+    hx = digests[:, 2 * cols]          # (nb, j-1)
+    hy = digests[:, 2 * cols + 1]
+    out[:, 1:, 0] = ((hx / 255.0 - 0.5) * 0.04 * w[:, None]).astype(np.float32)
+    out[:, 1:, 1] = ((hy / 255.0 - 0.5) * 0.04 * hh[:, None]).astype(np.float32)
+    return out.reshape(nb * j, 2)
 
 
 def proposals(blocks: list[Block]) -> tuple[np.ndarray, np.ndarray]:
@@ -447,10 +472,10 @@ def proposals(blocks: list[Block]) -> tuple[np.ndarray, np.ndarray]:
         [[b.x1, b.y1, b.x2, b.y2] for b in blocks], dtype=np.float32
     )
     xywh = xyxy2xywh(xyxy)  # (nb, 4)
-    logits = np.stack([_block_logits(b) for b in blocks])  # (nb, nc)
+    logits = _batch_logits(blocks)  # (nb, nc)
     base = _sigmoid32(logits)
     boxes = np.repeat(xywh, j, axis=0)  # (nb*j, 4)
-    offs = np.concatenate([_jitters(b) for b in blocks])  # (nb*j, 2)
+    offs = _batch_jitters(blocks)  # (nb*j, 2)
     boxes[:, :2] += offs
     scale = np.tile(
         (1.0 - 0.1 * np.arange(j, dtype=np.float32)), nb
