@@ -189,7 +189,24 @@ def test_curation_queries_tolerate_empty_corpus(spark, tmp_path_factory):
         schema="event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
     ).write.parquet(f"{base}/events.parquet")
-    for name, (fn, _sql) in CURATION_QUERIES.items():
+    from doclayout_yolo_spark.contract import ALL_QUERIES
+
+    spark.createDataFrame(
+        [], schema="vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{base}/embeddings.parquet")
+    text_vector_names = [
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "simhash", "tfidf_top_terms", "lang_id", "quality_score",
+        "token_count", "doc_rolling_fingerprint", "repetition_ratio",
+        "dedup_clusters", "stratified_sample", "ann_cosine_topk",
+        "ann_lsh_bucketed", "dedup_embedding_cosine",
+        "simhash64_hamming_pairs", "decontaminate_against_eval",
+        "dup_sentence_fraction",
+    ]
+    todo = list(CURATION_QUERIES.items()) + [
+        (n, ALL_QUERIES[n]) for n in text_vector_names
+    ]
+    for name, (fn, _sql) in todo:
         rows = fn(spark, str(base)).collect()
         assert rows == [], f"{name} returned rows on an empty corpus"
 
