@@ -52,6 +52,21 @@ _WS_RE = re.compile(r"\s+")
 
 
 def _norm_ws(s: str) -> str:
+    # fast path: already-normalized ASCII (no runs, no exotic
+    # whitespace) — the regex would only strip edges.  The guard is
+    # conservative: any non-ASCII (\xa0, \x85, ...) or control
+    # whitespace falls through to the full normalization, so output is
+    # identical by construction.
+    if (
+        s.isascii()
+        and "  " not in s
+        and "\t" not in s
+        and "\n" not in s
+        and "\r" not in s
+        and "\f" not in s
+        and "\v" not in s
+    ):
+        return s.strip()
     return _WS_RE.sub(" ", s).strip()
 
 
