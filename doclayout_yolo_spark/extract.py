@@ -55,8 +55,9 @@ def _norm_ws(s: str) -> str:
     # fast path: already-normalized ASCII (no runs, no exotic
     # whitespace) — the regex would only strip edges.  The guard is
     # conservative: any non-ASCII (\xa0, \x85, ...) or control
-    # whitespace falls through to the full normalization, so output is
-    # identical by construction.
+    # whitespace — including \x1c-\x1f, which Python's \s matches and
+    # PDF octal escapes can produce — falls through to the full
+    # normalization, so output is identical by construction.
     if (
         s.isascii()
         and "  " not in s
@@ -65,6 +66,10 @@ def _norm_ws(s: str) -> str:
         and "\r" not in s
         and "\f" not in s
         and "\v" not in s
+        and "\x1c" not in s
+        and "\x1d" not in s
+        and "\x1e" not in s
+        and "\x1f" not in s
     ):
         return s.strip()
     return _WS_RE.sub(" ", s).strip()
@@ -409,6 +414,11 @@ def _batch_logits(blocks: list[Block]) -> np.ndarray:
     )
     logits[rows, prior] = np.float32(3.0)
     ld = np.array([b.link_density for b in blocks], dtype=np.float32)
+    # threshold compares go through float64 like the scalar original
+    # (np.float32(ld) > 0.3 promoted the float32 to float64, so a block
+    # with link_density exactly float32(0.3)=0.30000001 DID clear the
+    # 0.3 bar; a float32-vs-float32 compare would not).
+    ld64 = ld.astype(np.float64)
     text_len_i = np.array([len(b.text) for b in blocks], dtype=np.int64)
     text_len = np.minimum(text_len_i, 2000).astype(np.float32)
     # text-density proxy: chars per layout line
@@ -421,7 +431,7 @@ def _batch_logits(blocks: list[Block]) -> np.ndarray:
     abandon = np.full(nb, -3.0, dtype=np.float32)
     abandon[boiler] += np.float32(4.5)
     abandon += np.float32(6.0) * ld
-    abandon[(text_len_i < 25) & (ld > 0.3)] += np.float32(1.5)
+    abandon[(text_len_i < 25) & (ld64 > 0.3)] += np.float32(1.5)
     lows = [b.text.lower() for b in blocks]
     for kw in ("cookie", "subscribe", "copyright", "privacy", "all rights reserved"):
         hit = np.array([kw in low for low in lows], dtype=bool)
@@ -431,7 +441,7 @@ def _batch_logits(blocks: list[Block]) -> np.ndarray:
     # fall under CONF_THRES=0.25 (sigmoid(3.0 - 4.5) ~= 0.18): the class
     # filter only drops abandon-class detections, so the content-class
     # score of a boilerplate block must die at the confidence mask.
-    suppress = boiler | (ld > 0.5)
+    suppress = boiler | (ld64 > 0.5)
     logits[rows[suppress], prior[suppress]] -= np.float32(4.5)
     weak = (prior == 1) & (text_len_i < 15)
     logits[rows[weak], prior[weak]] -= np.float32(1.0)

@@ -256,6 +256,11 @@ def confusion_matrix(
 
 AP_DDL = "cls long, iou_idx int, iou_thr double, ap double"
 
+# (applicationId, persisted-ap) of the most recent ap_per_class call:
+# the next call unpersists it so repeated metric/bench invocations in
+# one session hold at most ONE tiny cached ap at a time (r3 ADVICE).
+_AP_PERSISTED: list = []
+
 
 def ap_per_class(matches: DataFrame, gt_counts: dict[int, int]) -> DataFrame:
     """match table -> per-(cls, iou_threshold) AP, fully distributed.
@@ -297,12 +302,23 @@ def ap_per_class(matches: DataFrame, gt_counts: dict[int, int]) -> DataFrame:
     # below consume it — without the cache the whole match_table
     # applyInPandas pipeline would execute a second time just to list
     # the classes present.  The cache entry is nc x iou_thresholds
-    # rows, negligible at any scale.
+    # rows, negligible at any scale.  Long-lived sessions invoking
+    # metrics repeatedly must not accumulate persisted handles, so each
+    # call releases the previous call's (already-consumed) entry.
     ap = (
         matches.groupBy("cls")
         .applyInPandas(_ap_group, schema=AP_DDL)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    app = matches.sparkSession.sparkContext.applicationId
+    for prev_app, prev_ap in _AP_PERSISTED:
+        if prev_app == app:
+            try:
+                prev_ap.unpersist(blocking=False)
+            except Exception:
+                pass
+    _AP_PERSISTED.clear()
+    _AP_PERSISTED.append((app, ap))
     # gt classes with zero detections never reach the kernel: union ap=0
     # rows for them (anti-join against the tiny cached ap output keeps
     # this distributed and avoids re-deriving classes from matches)

@@ -210,10 +210,13 @@ def _content_streams(raw: bytes) -> tuple[list[bytes], tuple[float, ...] | None]
         if cm is not None:
             page_content_objs.append(int(cm.group(1)))
     if page_content_objs and all(n in streams_by_obj for n in page_content_objs):
+        # keep the page SLOT for an undecodable /Contents stream (empty
+        # body -> zero blocks at its position): dropping it would shift
+        # every later page up one full page in the continuous scroll and
+        # shrink total_h — quarantine must not move other pages.
         return [
-            streams_by_obj[n]
+            streams_by_obj[n] if streams_by_obj[n] is not None else b""
             for n in page_content_objs
-            if streams_by_obj[n] is not None
         ], media
     # fallback: every non-ObjStm stream in the file, one logical page
     out = []

@@ -307,17 +307,35 @@ def _shingles(spark, sf_dir):
     at cluster scale this is the 'stage the shingle table once'
     pattern, spilling instead of recomputing.
 
-    Memoized per (application, sf_dir) so repeated query-builder
-    invocations across a long-lived session (contract sweeps, bench
-    loops) reuse ONE persisted DataFrame instead of stacking cache
-    entries for the lifetime of the session."""
+    Memoized per (application, sf_dir, source mtime) so repeated
+    query-builder invocations across a long-lived session (contract
+    sweeps, bench loops) reuse ONE persisted DataFrame instead of
+    stacking cache entries — and a rewritten fixture under the same
+    path invalidates the memo instead of serving stale data (r3
+    ADVICE)."""
+    import os  # noqa: PLC0415
+
     app = spark.sparkContext.applicationId
-    # evict entries from previous (stopped) sessions so a long-lived
-    # process that restarts Spark doesn't accumulate dead DataFrame
-    # graphs; live-session entries stay for plan-cache reuse
-    for k in [k for k in _SHINGLE_CACHE if k[0] != app]:
+    src = f"{sf_dir}/documents.parquet"
+    try:
+        mtime = os.path.getmtime(src)
+    except OSError:
+        mtime = -1.0
+    key = (app, sf_dir, mtime)
+    # evict entries from previous (stopped) sessions AND stale-mtime
+    # twins of this key so a long-lived process never accumulates dead
+    # or superseded persisted DataFrames
+    for k in [
+        k
+        for k in _SHINGLE_CACHE
+        if k[0] != app or (k[1] == sf_dir and k != key)
+    ]:
+        if k[0] == app:
+            try:
+                _SHINGLE_CACHE[k].unpersist(blocking=False)
+            except Exception:
+                pass
         del _SHINGLE_CACHE[k]
-    key = (app, sf_dir)
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached

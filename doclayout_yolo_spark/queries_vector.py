@@ -27,6 +27,16 @@ def _emb(spark: SparkSession, sf_dir: str):
     )
 
 
+def _round_half_away(x, ndigits: int):
+    """Round half-away-from-zero, matching Spark F.round and DuckDB
+    ROUND.  np.round is half-to-even, so a value landing exactly on a
+    .5 boundary at the target scale (e.g. 2.5e-6 at 6 digits) would
+    flip assignment/encoding vs the oracle — an input-dependent flake
+    for the randomized differential gates (r3 ADVICE)."""
+    s = 10.0 ** ndigits
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -418,7 +428,7 @@ def _sig_bits(vec_col: "object", planes: np.ndarray) -> np.ndarray:
     in-batch with zero extra shuffle.  round(9) guard: fold-order drift
     between engines must never flip a sign bit."""
     v = np.array(vec_col.tolist(), dtype=np.float64).reshape(-1, DIM)
-    return np.round(v @ planes.T, 9) > 0
+    return _round_half_away(v @ planes.T, 9) > 0
 
 
 def _signatures(spark, sf_dir):
@@ -672,10 +682,22 @@ def _head_vectors(spark, sf_dir, k: int) -> np.ndarray:
     artifact (a trained codebook ships to executors the same way), but
     building a query should not re-scan embeddings on every builder
     invocation (plan audits, bench warmups, repeated contract runs)."""
+    import os  # noqa: PLC0415
+
     app = spark.sparkContext.applicationId
-    for key in [key for key in _HEAD_VEC_CACHE if key[0] != app]:
-        del _HEAD_VEC_CACHE[key]
-    key = (app, sf_dir, k)
+    try:
+        mtime = os.path.getmtime(f"{sf_dir}/embeddings.parquet")
+    except OSError:
+        mtime = -1.0
+    # mtime in the key: a rewritten fixture under the same path must
+    # not serve a stale codebook (r3 ADVICE); stale twins are evicted
+    key = (app, sf_dir, k, mtime)
+    for old in [
+        old
+        for old in _HEAD_VEC_CACHE
+        if old[0] != app or (old[1] == sf_dir and old[2] == k and old != key)
+    ]:
+        del _HEAD_VEC_CACHE[old]
     got = _HEAD_VEC_CACHE.get(key)
     if got is None:
         rows = sorted(
@@ -715,7 +737,7 @@ def _ivf_assigned(spark, sf_dir):
                 continue
             v = np.array(pdf["vec"].tolist(), dtype=np.float64).reshape(-1, DIM)
             nv = np.sqrt((v * v).sum(axis=1))
-            sims = np.round(v @ cmat.T / np.outer(nv, cn), 6)
+            sims = _round_half_away(v @ cmat.T / np.outer(nv, cn), 6)
             # stable argsort on (-sim, cent_id): first two columns are
             # the nprobe=1 and nprobe=2 cells
             order = np.argsort(-sims, axis=1, kind="stable")
@@ -977,7 +999,7 @@ def _pq_encoded(emb, cb: np.ndarray):
                 # (n, KSUB) rounded L2^2; argmin keeps the FIRST (=
                 # lowest code id) on ties, matching the oracle's
                 # ORDER BY d2, code_id
-                d2 = np.round(
+                d2 = _round_half_away(
                     ((v[:, None, m, :] - cb[None, :, m, :]) ** 2).sum(-1), 6
                 )
                 out[f"code_{m}"] = d2.argmin(axis=1).astype("int32")
@@ -1001,7 +1023,7 @@ def _pq_adc_topk(spark, emb, cb: np.ndarray, query_rows):
             int(qrows[qi]["vec_id"]),
             m,
             c,
-            float(np.round(((qv[qi, m] - cb[c, m]) ** 2).sum(), 6)),
+            float(_round_half_away(((qv[qi, m] - cb[c, m]) ** 2).sum(), 6)),
         )
         for qi in range(len(qrows))
         for m in range(PQ_M)
