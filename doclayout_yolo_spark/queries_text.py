@@ -443,6 +443,17 @@ WHERE inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE) >= {JACCARD_THRESHOLD}
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
 
+# Max docs kept per LSH bucket (lowest doc_ids win, deterministically).
+# On a real crawl, identical/boilerplate pages form mega-clusters that
+# share every band: without a cap, ONE reducer collects a corpus-sized
+# list and the i<j expansion is quadratic in cluster size — the shingle
+# df-cap does not fence this (bands come from signatures, not shingle
+# df).  The cap bounds in-bucket work at C(CAP,2) pairs; 64
+# representatives keep near-dup clusters connected (each surviving doc
+# still links to the cluster minimum).  Never fires at fixture scale;
+# dropped rows are COUNTED, not silent — see lsh_bucket_cap_audit.
+BUCKET_CAP = 64
+
 
 def _minhash_bands(spark, sf_dir):
     """(doc_id, band, h1, h2) rows — ONE signature aggregation, then a
@@ -469,12 +480,24 @@ def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH candidate pairs via bucket grouping: shuffle band
     rows once on (band, h1, h2), emit i<j pairs inside each bucket.
     Unlike a bands-self-join this computes the signature once and never
-    materializes two copies of the band table; bucket sizes are small
-    by construction (near-dup groups), so the in-bucket pair expansion
-    is bounded."""
+    materializes two copies of the band table.
+
+    Buckets are CAPPED at BUCKET_CAP docs (row_number over doc_id, so
+    the lowest ids survive — deterministic, mirrored in the oracle):
+    identical/boilerplate mega-clusters on a real crawl would otherwise
+    send a corpus-sized collect_list to one reducer and expand pairs
+    quadratically.  The rank filter runs BEFORE collect_list, so the
+    straggler reducer streams (sort-based window) instead of buffering
+    the whole cluster; dropped docs are counted by
+    ``lsh_bucket_cap_audit`` — no silent caps."""
     bands = _minhash_bands(spark, sf_dir)
+    wcap = W.partitionBy("band", "h1", "h2").orderBy("doc_id")
+    kept = (
+        bands.withColumn("rk", F.row_number().over(wcap))
+        .filter(F.col("rk") <= BUCKET_CAP)
+    )
     buckets = (
-        bands.groupBy("band", "h1", "h2")
+        kept.groupBy("band", "h1", "h2")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
@@ -501,6 +524,15 @@ _BANDS_DUCK = "\nUNION ALL\n".join(
     for band in range(N_BANDS)
 )
 
+# bucket cap mirror: keep the BUCKET_CAP lowest doc_ids per bucket
+_CAPPED_BANDS_DUCK = """
+  SELECT doc_id, band, h1, h2 FROM (
+    SELECT doc_id, band, h1, h2,
+           ROW_NUMBER() OVER (PARTITION BY band, h1, h2 ORDER BY doc_id) AS rk
+    FROM bands0
+  ) WHERE rk <= {cap}
+"""
+
 MINHASH_SQL = f"""
 WITH sh AS ({_SHINGLES_DUCK}),
 sig AS (
@@ -508,7 +540,8 @@ sig AS (
        {_MINS_DUCK}
   FROM sh GROUP BY doc_id
 ),
-bands AS ({_BANDS_DUCK})
+bands0 AS ({_BANDS_DUCK}),
+bands AS ({_CAPPED_BANDS_DUCK.format(cap=BUCKET_CAP)})
 SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
 FROM bands a JOIN bands c
   ON a.band = c.band AND a.h1 = c.h1 AND a.h2 = c.h2 AND a.doc_id < c.doc_id
@@ -561,7 +594,8 @@ sig AS (
        {{mins}}
   FROM all_sh GROUP BY doc_id
 ),
-bands AS ({{bands}}),
+bands0 AS ({{bands}}),
+bands AS ({{capped}}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
   FROM bands a JOIN bands c
@@ -584,7 +618,11 @@ WHERE ROUND(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) >= {JACCARD_TH
 """
 
 
-JACCARD_LSH_SQL = JACCARD_LSH_SQL.format(mins=_MINS_DUCK, bands=_BANDS_DUCK)
+JACCARD_LSH_SQL = JACCARD_LSH_SQL.format(
+    mins=_MINS_DUCK,
+    bands=_BANDS_DUCK,
+    capped=_CAPPED_BANDS_DUCK.format(cap=BUCKET_CAP),
+)
 
 
 # --- eval-set decontamination -------------------------------------------------
@@ -1137,24 +1175,38 @@ def _simhash64_df(spark, sf_dir):
     return bit_sums.select("doc_id", *cols)
 
 
-def simhash64_hamming_pairs(spark, sf_dir):
-    """Near-dup pairs with hamming <= 3 over the 64-bit signature —
-    the corpus-scale variant of simhash_hamming_pairs (same pigeonhole
-    band -> bucket-groupBy pair expansion; no all-pairs join)."""
+def _sim64_bands(spark, sf_dir):
+    """(doc_id, simhash, band, bucket) rows in ONE pass — posexplode of
+    a band-struct array, not a 4-way union that would re-run the 64-sum
+    aggregation per band."""
     sim = _simhash64_df(spark, sf_dir)
-    # single-pass band rows (posexplode, not a 4-way union that would
-    # re-run the 64-sum aggregation per band)
     band_structs = F.array(
         *[
             F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("bucket"))
             for k in range(SIM64_BANDS)
         ]
     )
-    bands = sim.select(
+    return sim.select(
         "doc_id", "simhash", F.explode(band_structs).alias("bb")
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+
+
+def simhash64_hamming_pairs(spark, sf_dir):
+    """Near-dup pairs with hamming <= 3 over the 64-bit signature —
+    the corpus-scale variant of simhash_hamming_pairs (same pigeonhole
+    band -> bucket-groupBy pair expansion; no all-pairs join).  Buckets
+    are capped at BUCKET_CAP docs exactly like dedup_minhash_lsh
+    (lowest doc_ids win, rank filter before collect_list, drops counted
+    by lsh_bucket_cap_audit): a 16-bit band has only 65536 distinct
+    buckets, so mega-clusters are a certainty at crawl scale."""
+    bands = _sim64_bands(spark, sf_dir)
+    wcap = W.partitionBy("band", "bucket").orderBy("doc_id")
+    kept = (
+        bands.withColumn("rk", F.row_number().over(wcap))
+        .filter(F.col("rk") <= BUCKET_CAP)
+    )
     buckets = (
-        bands.groupBy("band", "bucket")
+        kept.groupBy("band", "bucket")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("doc_id", "simhash"))
@@ -1225,7 +1277,14 @@ s AS (
          {", ".join(f"CAST({_sim64_bucket_duck(k)} AS BIGINT) AS b{k}" for k in range(SIM64_BANDS))}
   FROM sums
 ),
-bands AS ({_SIM64_BANDS_DUCK}),
+bands0 AS ({_SIM64_BANDS_DUCK}),
+bands AS (
+  SELECT doc_id, simhash, band, bucket FROM (
+    SELECT doc_id, simhash, band, bucket,
+           ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rk
+    FROM bands0
+  ) WHERE rk <= {BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sa, b.simhash AS sb
@@ -1235,6 +1294,105 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING64_MAX}
 """
+
+
+def lsh_bucket_cap_audit(spark, sf_dir):
+    """Per-band bucket-size audit for BOTH capped LSH families — the
+    'no silent caps' ledger: n_buckets, the largest bucket, and how
+    many band rows the BUCKET_CAP would drop.  At fixture scale
+    n_dropped is 0 everywhere (the cap exists for crawl-scale
+    mega-clusters); a curation job logs this alongside its pair counts
+    so a fired cap is visible, never silent."""
+
+    def _roll(sizes, fam):
+        return (
+            sizes.groupBy("band")
+            .agg(
+                F.count("*").cast("long").alias("n_buckets"),
+                F.max("n").cast("long").alias("max_bucket"),
+                F.sum(F.greatest(F.col("n") - F.lit(BUCKET_CAP), F.lit(0)))
+                .cast("long")
+                .alias("n_dropped"),
+            )
+            .select(
+                F.lit(fam).alias("family"),
+                F.col("band").cast("long").alias("band"),
+                "n_buckets",
+                "max_bucket",
+                "n_dropped",
+            )
+        )
+
+    m_sizes = (
+        _minhash_bands(spark, sf_dir)
+        .groupBy("band", "h1", "h2")
+        .agg(F.count("*").alias("n"))
+    )
+    s_sizes = (
+        _sim64_bands(spark, sf_dir)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    return _roll(m_sizes, "minhash").unionByName(_roll(s_sizes, "simhash64"))
+
+
+_CAP_AUDIT_ROLL = f"""
+  SELECT family, CAST(band AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(MAX(n) AS BIGINT) AS max_bucket,
+         CAST(SUM(CASE WHEN n > {BUCKET_CAP} THEN n - {BUCKET_CAP} ELSE 0 END) AS BIGINT) AS n_dropped
+"""
+
+LSH_CAP_AUDIT_SQL = f"""
+WITH sh AS ({_SHINGLES_DUCK}),
+sig AS (
+  SELECT doc_id,
+       {_MINS_DUCK}
+  FROM sh GROUP BY doc_id
+),
+mbands AS ({_BANDS_DUCK}),
+msizes AS (
+  SELECT 'minhash' AS family, band, COUNT(*) AS n
+  FROM mbands GROUP BY band, h1, h2
+),
+words AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, UNNEST({{toks}}) AS word FROM documents)
+),
+hashed AS (
+  SELECT doc_id,
+         {_H64_DUCK.format(x="word")} AS h1,
+         CAST(concat('0x', substr(md5(word), 16, 15)) AS BIGINT) AS h2
+  FROM words
+),
+sums AS (
+  SELECT doc_id,
+         {{sim_bits}}
+  FROM hashed GROUP BY doc_id
+),
+s AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS simhash,
+         {{sim_buckets}}
+  FROM sums
+),
+sbands AS ({_SIM64_BANDS_DUCK}),
+ssizes AS (
+  SELECT 'simhash64' AS family, band, COUNT(*) AS n
+  FROM sbands GROUP BY band, bucket
+)
+{_CAP_AUDIT_ROLL} FROM msizes GROUP BY family, band
+UNION ALL
+{_CAP_AUDIT_ROLL} FROM ssizes GROUP BY family, band
+"""
+
+LSH_CAP_AUDIT_SQL = LSH_CAP_AUDIT_SQL.format(
+    toks=_TOKS_DUCK_TEXT,
+    sim_bits=", ".join(_sim64_bit_duck(b) for b in range(64)),
+    sim_buckets=", ".join(
+        f"CAST({_sim64_bucket_duck(k)} AS BIGINT) AS b{k}"
+        for k in range(SIM64_BANDS)
+    ),
+)
 
 
 # --- rolling-hash document fingerprint -------------------------------------------
@@ -1561,4 +1719,5 @@ TEXT_QUERIES = {
     "repetition_ratio": (repetition_ratio, REPETITION_SQL),
     "simhash_hamming_pairs": (simhash_hamming_pairs, SIMHASH_HAMMING_SQL),
     "simhash64_hamming_pairs": (simhash64_hamming_pairs, SIMHASH64_HAMMING_SQL),
+    "lsh_bucket_cap_audit": (lsh_bucket_cap_audit, LSH_CAP_AUDIT_SQL),
 }

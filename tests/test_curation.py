@@ -201,7 +201,7 @@ def test_curation_queries_tolerate_empty_corpus(spark, tmp_path_factory):
         "dedup_clusters", "stratified_sample", "ann_cosine_topk",
         "ann_lsh_bucketed", "dedup_embedding_cosine",
         "simhash64_hamming_pairs", "decontaminate_against_eval",
-        "dup_sentence_fraction",
+        "dup_sentence_fraction", "lsh_bucket_cap_audit",
     ]
     todo = list(CURATION_QUERIES.items()) + [
         (n, ALL_QUERIES[n]) for n in text_vector_names
