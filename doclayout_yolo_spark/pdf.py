@@ -74,9 +74,11 @@ _TOKEN_RE = re.compile(
     rb"|(?P<tstar>T\*)"
     rb"|\((?P<text>(?:\\.|[^\\()])*)\)\s*(?P<showop>Tj|')"
     rb"|<(?P<hextext>[0-9A-Fa-f\s]*)>\s*(?P<hexop>Tj|')"
-    rb"|\[(?P<tjarr>(?:\((?:\\.|[^\\()])*\)|[-\d.]+|\s+)*)\]\s*TJ"
+    rb"|\[(?P<tjarr>(?:\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|[-\d.]+|\s+)*)\]\s*TJ"
 )
-_TJ_ITEM_RE = re.compile(rb"\((?P<s>(?:\\.|[^\\()])*)\)|(?P<n>[-\d.]+)")
+_TJ_ITEM_RE = re.compile(
+    rb"\((?P<s>(?:\\.|[^\\()])*)\)|<(?P<h>[0-9A-Fa-f\s]*)>|(?P<n>[-\d.]+)"
+)
 
 _UNESCAPE = {
     b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t",
@@ -92,7 +94,7 @@ HEADER_STRIP = 40.0
 TJ_SPACE_KERN = 180.0  # |kern| (thousandths) at/above which TJ reads a space
 
 
-def _unescape(raw: bytes) -> str:
+def _unescape_bytes(raw: bytes) -> bytes:
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -100,12 +102,187 @@ def _unescape(raw: bytes) -> str:
             out += _UNESCAPE[raw[i : i + 2]]
             i += 2
         elif raw[i : i + 1] == b"\\" and i + 1 < len(raw):
-            out.append(raw[i + 1])
-            i += 2
+            nxt = raw[i + 1 : i + 4]
+            om = re.match(rb"[0-7]{1,3}", nxt)
+            if om:  # octal escape \ddd (ISO 32000-1 §7.3.4.2)
+                out.append(int(om.group(0), 8) & 0xFF)
+                i += 1 + len(om.group(0))
+            else:
+                out.append(raw[i + 1])
+                i += 2
         else:
             out.append(raw[i])
             i += 1
-    return out.decode("latin-1")
+    return bytes(out)
+
+
+def _hex_bytes(raw: bytes) -> bytes:
+    """Hex-string payload -> bytes (ISO 32000-1 §7.3.4.3: whitespace
+    ignored, odd trailing digit padded with 0)."""
+    h = re.sub(rb"\s", b"", raw)
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii"))
+
+
+# WinAnsiEncoding == cp1252 for the defined codes; the five undefined
+# cp1252 bytes fall back to their latin-1 identity so decoding is total
+_WINANSI_TABLE = [
+    chr(i) if i in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+    else bytes([i]).decode("cp1252")
+    for i in range(256)
+]
+
+
+class _Font:
+    """Per-font decode behavior resolved from the page's /Resources:
+    a /ToUnicode CMap (CID fonts — the encoding real-world Word/LaTeX
+    PDFs overwhelmingly use) and/or a simple-font /Encoding."""
+
+    __slots__ = ("cmap", "code_bytes", "winansi")
+
+    def __init__(self, cmap=None, code_bytes=1, winansi=False):
+        self.cmap = cmap
+        self.code_bytes = code_bytes
+        self.winansi = winansi
+
+    def decode(self, data: bytes) -> str:
+        if self.cmap is not None:
+            w = self.code_bytes
+            out = []
+            for i in range(0, len(data) - w + 1, w):
+                code = int.from_bytes(data[i : i + w], "big")
+                out.append(self.cmap.get(code, chr(code)))
+            return "".join(out)
+        if self.winansi:
+            return "".join(_WINANSI_TABLE[c] for c in data)
+        return data.decode("latin-1")
+
+
+_DEFAULT_FONT = _Font()
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_RANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])"
+)
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S
+)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _u16(hexs: bytes) -> str:
+    """CMap destination hex -> text (UTF-16BE per the ToUnicode spec)."""
+    return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
+    """ToUnicode CMap stream -> (code -> text map, code width in bytes).
+
+    Reads ``bfchar`` pairs, ``bfrange`` (both the incrementing
+    ``<lo> <hi> <dst>`` and the explicit-array form), and the
+    ``codespacerange`` width (Adobe CMap spec / ISO 32000-1 §9.10.3)."""
+    cmap: dict[int, str] = {}
+    width = 2
+    cm = _CODESPACE_RE.search(data)
+    if cm is not None:
+        width = max(1, len(cm.group(1)) // 2)
+    for section in _BFCHAR_RE.findall(data):
+        for src, dst in _HEXPAIR_RE.findall(section):
+            cmap[int(src, 16)] = _u16(dst)
+    for section in _BFRANGE_RE.findall(data):
+        for m in _RANGE_RE.finditer(section):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            if m.group(3) is not None:
+                base = bytes.fromhex(m.group(3).decode("ascii"))
+                base_cp = int.from_bytes(base, "big")
+                nb = len(base)
+                for c in range(lo, hi + 1):
+                    cmap[c] = (
+                        (base_cp + (c - lo)).to_bytes(nb, "big")
+                        .decode("utf-16-be", "replace")
+                    )
+            else:
+                dsts = _HEXTOK_RE.findall(m.group(4))
+                for c, dst in zip(range(lo, hi + 1), dsts):
+                    cmap[c] = _u16(dst)
+    return cmap, width
+
+
+def _dict_region(body: bytes, key: bytes) -> bytes | int | None:
+    """Value after ``/key`` in a dict body: the balanced ``<< ... >>``
+    region (bytes) for an inline dict, the object number (int) for an
+    indirect ``N 0 R`` reference, else None."""
+    m = re.search(rb"/" + key + rb"\s*", body)
+    if m is None:
+        return None
+    rest = body[m.end():]
+    if rest.startswith(b"<<"):
+        depth, i = 0, 0
+        while i < len(rest):
+            if rest.startswith(b"<<", i):
+                depth += 1
+                i += 2
+            elif rest.startswith(b">>", i):
+                depth -= 1
+                i += 2
+                if depth == 0:
+                    return rest[:i]
+            else:
+                i += 1
+        return None
+    rm = re.match(rb"(\d+)\s+0\s+R", rest)
+    if rm is not None:
+        return int(rm.group(1))
+    return None
+
+
+_FONTREF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_WINANSI_RE = re.compile(rb"/Encoding\s*/WinAnsiEncoding\b")
+
+
+def _font_map_for_page(
+    page_body: bytes,
+    dict_objs: dict[int, bytes],
+    streams_by_obj: dict[int, bytes | None],
+) -> dict[bytes, _Font]:
+    """Resolve the page's /Resources /Font dict into name -> _Font.
+    Resources may be inline or an indirect reference; font dicts may
+    live in object streams (dict_objs is already ObjStm-merged)."""
+    res = _dict_region(page_body, b"Resources")
+    if isinstance(res, int):
+        res = dict_objs.get(res)
+    if not isinstance(res, bytes):
+        return {}
+    fdict = _dict_region(res, b"Font")
+    if isinstance(fdict, int):
+        fdict = dict_objs.get(fdict)
+    if not isinstance(fdict, bytes):
+        return {}
+    out: dict[bytes, _Font] = {}
+    for name, ref in _FONTREF_RE.findall(fdict):
+        fbody = dict_objs.get(int(ref))
+        if fbody is None:
+            continue
+        cmap, width = None, 1
+        tm = _TOUNICODE_RE.search(fbody)
+        if tm is not None:
+            data = streams_by_obj.get(int(tm.group(1)))
+            if data is not None:
+                cmap, width = _parse_tounicode(data)
+        if cmap is None and _TYPE0_RE.search(fbody):
+            # Identity-H without ToUnicode: 2-byte codes = code points
+            cmap, width = {}, 2
+        out[name] = _Font(
+            cmap=cmap,
+            code_bytes=width,
+            winansi=_WINANSI_RE.search(fbody) is not None,
+        )
+    return out
 
 
 def _tag_for_size(size: float) -> str:
@@ -156,8 +333,11 @@ def _objstm_members(dict_bytes: bytes, data: bytes) -> dict[int, bytes]:
     return out
 
 
-def _content_streams(raw: bytes) -> tuple[list[bytes], tuple[float, ...] | None]:
-    """(decoded content-stream bodies in page order, MediaBox or None).
+def _content_streams(
+    raw: bytes,
+) -> tuple[list[bytes], tuple[float, ...] | None, list[dict[bytes, _Font]]]:
+    """(decoded content-stream bodies in page order, MediaBox or None,
+    per-page font maps resolved from /Resources).
 
     The MediaBox must come from the resolved page dicts, not a regex
     over the raw file: with PDF 1.5 object streams the page dicts are
@@ -198,6 +378,7 @@ def _content_streams(raw: bytes) -> tuple[list[bytes], tuple[float, ...] | None]
         ]
     media: tuple[float, ...] | None = None
     page_content_objs: list[int] = []
+    fontmaps: list[dict[bytes, _Font]] = []
     for num in page_nums:
         body = dict_objs.get(num)
         if body is None:
@@ -209,6 +390,9 @@ def _content_streams(raw: bytes) -> tuple[list[bytes], tuple[float, ...] | None]
         cm = _CONTENTS_RE.search(body)
         if cm is not None:
             page_content_objs.append(int(cm.group(1)))
+            fontmaps.append(
+                _font_map_for_page(body, dict_objs, streams_by_obj)
+            )
     if page_content_objs and all(n in streams_by_obj for n in page_content_objs):
         # keep the page SLOT for an undecodable /Contents stream (empty
         # body -> zero blocks at its position): dropping it would shift
@@ -217,16 +401,17 @@ def _content_streams(raw: bytes) -> tuple[list[bytes], tuple[float, ...] | None]
         return [
             streams_by_obj[n] if streams_by_obj[n] is not None else b""
             for n in page_content_objs
-        ], media
+        ], media, fontmaps
     # fallback: every non-ObjStm stream in the file, one logical page
     out = []
     for sm in _STREAMOBJ_RE.finditer(raw):
         if _OBJSTM_RE.search(sm.group("dict")):
             continue
         body = _decode_stream(sm.group("dict"), sm.group("body"))
-        if body is not None:
-            out.append(body)
-    return out, media
+        if body is None or b"beginbfchar" in body or b"begincmap" in body:
+            continue  # never mistake a ToUnicode CMap for a page
+        out.append(body)
+    return out, media, [{} for _ in out]
 
 
 def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
@@ -244,7 +429,7 @@ def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
     the shared detector scores it down exactly like HTML <nav>/<footer>
     content.
     """
-    streams, media = _content_streams(raw)
+    streams, media, fontmaps = _content_streams(raw)
     if media is None:
         # fragmentary input with no resolvable page dict: raw scan
         m = _MEDIABOX_RE.search(raw)
@@ -257,8 +442,10 @@ def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
     blocks: list[Block] = []
     for page_i, body in enumerate(streams):
         y_off = page_i * page_h
+        fonts = fontmaps[page_i] if page_i < len(fontmaps) else {}
         for bt in _BT_RE.finditer(body):
             size = 12.0
+            font = _DEFAULT_FONT
             x, y = 0.0, 0.0
             leading = 0.0
             char_sp, word_sp = 0.0, 0.0
@@ -270,6 +457,7 @@ def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
             for tok in _TOKEN_RE.finditer(bt.group(1)):
                 if tok.group("font") is not None:
                     size = float(tok.group("size"))
+                    font = fonts.get(tok.group("font"), _DEFAULT_FONT)
                 elif tok.group("a") is not None:
                     x, y = float(tok.group("e")), float(tok.group("f"))
                 elif tok.group("tx") is not None:
@@ -297,14 +485,9 @@ def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
                         first_char_sp, first_word_sp = char_sp, word_sp
                     last_y = y
                     if is_hex:
-                        # hex string (ISO 32000-1 §7.3.4.3): whitespace
-                        # ignored, odd trailing digit padded with 0
-                        h = re.sub(rb"\s", b"", tok.group("hextext"))
-                        if len(h) % 2:
-                            h += b"0"
-                        parts.append(bytes.fromhex(h.decode("ascii")).decode("latin-1"))
+                        parts.append(font.decode(_hex_bytes(tok.group("hextext"))))
                     else:
-                        parts.append(_unescape(tok.group("text")))
+                        parts.append(font.decode(_unescape_bytes(tok.group("text"))))
                 elif tok.group("tjarr") is not None:
                     if first_pos is None:
                         first_pos = (x, y)
@@ -314,7 +497,9 @@ def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
                     segs: list[str] = []
                     for item in _TJ_ITEM_RE.finditer(tok.group("tjarr")):
                         if item.group("s") is not None:
-                            segs.append(_unescape(item.group("s")))
+                            segs.append(font.decode(_unescape_bytes(item.group("s"))))
+                        elif item.group("h") is not None:
+                            segs.append(font.decode(_hex_bytes(item.group("h"))))
                         elif float(item.group("n")) <= -TJ_SPACE_KERN:
                             segs.append(" ")
                     parts.append("".join(segs))
@@ -364,17 +549,34 @@ def _escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _show_ops(text: str, size: float, x: float, y_pdf: float, style: str) -> str:
+def _show_ops(
+    text: str, size: float, x: float, y_pdf: float, style: str, enc=None
+) -> str:
     """One text object. style: 'Tj' = single literal string; 'TJ' =
     word-per-segment array with -250 inter-word kerns (how real
     writers express justified text); 'Tstar' = word-per-line via
-    TL/T* (all words share one block, joined by the parser)."""
+    TL/T* (all words share one block, joined by the parser); 'hex' =
+    single-byte hex string; 'hexTJ' = kerned TJ array of hex segments;
+    'cid' = 2-byte CID codes through ``enc`` (Type0 font + /ToUnicode
+    CMap — the encoding real Word/LaTeX writers emit); 'winansi' =
+    literal string in WinAnsiEncoding (cp1252) bytes."""
     head = f"BT /F1 {size:g} Tf 1 0 0 1 {x:g} {y_pdf:g} Tm"
     if style == "TJ":
         arr = " -250 ".join(f"({_escape(w)})" for w in text.split(" "))
         return f"{head} [{arr}] TJ ET"
     if style == "hex":
         return f"{head} <{text.encode('latin-1', 'replace').hex()}> Tj ET"
+    if style == "hexTJ":
+        arr = " -250 ".join(
+            f"<{w.encode('latin-1', 'replace').hex()}>" for w in text.split(" ")
+        )
+        return f"{head} [{arr}] TJ ET"
+    if style == "cid":
+        arr = " -250 ".join(f"<{enc(w)}>" for w in text.split(" "))
+        return f"{head} [{arr}] TJ ET"
+    if style == "winansi":
+        safe = text.encode("cp1252", "replace").decode("latin-1")
+        return f"{head} ({_escape(safe)}) Tj ET"
     if style == "Tstar":
         words = text.split(" ")
         body = f" ({_escape(words[0])}) Tj"
@@ -383,6 +585,57 @@ def _show_ops(text: str, size: float, x: float, y_pdf: float, style: str) -> str
         # tiny leading keeps multi-word blocks inside their strip
         return f"{head} 0.01 TL{body} ET"
     return f"{head} ({_escape(text)}) Tj ET"
+
+
+def _tounicode_cmap(code_of: dict[str, int]) -> bytes:
+    """ToUnicode CMap stream body for a char -> CID code map, using
+    bfrange for runs (consecutive codes mapping to consecutive BMP
+    codepoints) and bfchar for the rest, 100 entries per block as the
+    Adobe CMap spec requires."""
+    items = sorted((code, ch) for ch, code in code_of.items())
+    singles: list[tuple[int, str]] = []
+    ranges: list[list[tuple[int, int]]] = []
+    run: list[tuple[int, int]] = []
+
+    def flush():
+        nonlocal run
+        if len(run) >= 3:
+            ranges.append(run)
+        else:
+            singles.extend((c, chr(p)) for c, p in run)
+        run = []
+
+    for code, ch in items:
+        cp = ord(ch)
+        if cp > 0xFFFF:  # non-BMP: surrogate-pair bfchar
+            flush()
+            singles.append((code, ch))
+            continue
+        if run and code == run[-1][0] + 1 and cp == run[-1][1] + 1:
+            run.append((code, cp))
+        else:
+            flush()
+            run = [(code, cp)]
+    flush()
+    parts = [
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+    ]
+    for i in range(0, len(ranges), 100):
+        chunk = ranges[i : i + 100]
+        parts.append(f"{len(chunk)} beginbfrange\n")
+        for r in chunk:
+            parts.append(f"<{r[0][0]:04x}> <{r[-1][0]:04x}> <{r[0][1]:04x}>\n")
+        parts.append("endbfrange\n")
+    for i in range(0, len(singles), 100):
+        chunk = singles[i : i + 100]
+        parts.append(f"{len(chunk)} beginbfchar\n")
+        for code, ch in chunk:
+            parts.append(f"<{code:04x}> <{ch.encode('utf-16-be').hex()}>\n")
+        parts.append("endbfchar\n")
+    parts.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+    return "".join(parts).encode("ascii")
 
 
 def _stream_obj(content: bytes, compress: bool, extra: bytes = b"") -> bytes:
@@ -417,13 +670,38 @@ def build_pdf_pages(
     (ISO 32000-1 §7.5.7) — the shape modern writers produce — with the
     content streams as regular objects."""
     n = len(pages)
+    enc = None
+    tounicode: bytes | None = None
+    if style == "cid":
+        chars = sorted({c for texts in pages for t, *_ in texts for c in t if c != " "})
+        code_of = {c: i + 1 for i, c in enumerate(chars)}
+
+        def enc(s, _m=code_of):
+            return "".join(f"{_m[c]:04x}" for c in s)
+
+        tounicode = _tounicode_cmap(code_of)
     contents: list[bytes] = []
     for texts in pages:
         ops = [
-            _show_ops(text, size, x, page_h - y_top - size, style)
+            _show_ops(text, size, x, page_h - y_top - size, style, enc)
             for text, size, x, y_top in texts
         ]
         contents.append("\n".join(ops).encode("latin-1"))
+
+    if style == "cid":
+        # ToUnicode stream appended as the LAST regular object
+        tu_num = (n + 2) if objstm else (4 + 2 * n)
+        font_dict = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic-Identity"
+            f" /Encoding /Identity-H /ToUnicode {tu_num} 0 R >>"
+        ).encode()
+    elif style == "winansi":
+        font_dict = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>"
+        )
+    else:
+        font_dict = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
     if objstm:
         # regular objs: 1 = ObjStm, 2..n+1 = content streams; embedded
@@ -433,7 +711,7 @@ def build_pdf_pages(
         embedded: list[tuple[int, bytes]] = [
             (100, b"<< /Type /Catalog /Pages 101 0 R >>"),
             (101, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()),
-            (102, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+            (102, font_dict),
         ]
         for i in range(n):
             embedded.append(
@@ -464,6 +742,8 @@ def build_pdf_pages(
             )
         ]
         objs += [_stream_obj(c, compress) for c in contents]
+        if tounicode is not None:
+            objs.append(_stream_obj(tounicode, compress))
         root = b"100 0 R"
     else:
         # obj numbering: 1 catalog, 2 pages, 3 font, then (page, content)*
@@ -471,7 +751,7 @@ def build_pdf_pages(
         objs = [
             b"<< /Type /Catalog /Pages 2 0 R >>",
             f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
-            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            font_dict,
         ]
         for i, texts in enumerate(pages):
             objs.append(
@@ -482,6 +762,8 @@ def build_pdf_pages(
                 ).encode()
             )
             objs.append(_stream_obj(contents[i], compress))
+        if tounicode is not None:
+            objs.append(_stream_obj(tounicode, compress))
         root = b"1 0 R"
     out = bytearray(b"%PDF-1.5\n" if objstm else b"%PDF-1.4\n")
     offsets = []

@@ -96,7 +96,7 @@ def test_hex_string_show_operator():
     assert blocks[0].text == "Hello world"
 
 
-@pytest.mark.parametrize("style", ["TJ", "Tstar", "hex"])
+@pytest.mark.parametrize("style", ["TJ", "Tstar", "hex", "hexTJ", "winansi", "cid"])
 @pytest.mark.parametrize("compress", [False, True])
 def test_show_operator_styles_equal_plain(style, compress):
     # word-per-segment TJ arrays (kerned) and TL/T* line advances must
@@ -105,6 +105,98 @@ def test_show_operator_styles_equal_plain(style, compress):
     other = extract_document(build_pdf(_DEMO, compress=compress, style=style))
     assert other[0] == plain[0]
     assert [r.text for r in other[1]] == [r.text for r in plain[1]]
+
+
+def test_cid_tounicode_roundtrips_cjk_and_nonbmp():
+    # the encoding real Word/LaTeX writers emit: Type0 font, 2-byte CID
+    # codes in hex strings, /ToUnicode CMap back to Unicode — including
+    # a surrogate-pair (non-BMP) bfchar entry
+    from doclayout_yolo_spark.pdf import build_pdf, parse_pdf_blocks
+
+    exotic = "日本語テキスト naïve café — test 🚀 end"
+    raw = build_pdf(
+        [("Title X", 24.0, 60.0, 80.0), (exotic, 12.0, 60.0, 150.0)],
+        style="cid",
+        compress=True,
+    )
+    blocks, _, _ = parse_pdf_blocks(raw)
+    assert [b.text for b in blocks] == ["Title X", exotic]
+
+
+def test_tounicode_bfrange_array_form_and_width():
+    from doclayout_yolo_spark.pdf import _parse_tounicode
+
+    cmap, width = _parse_tounicode(
+        b"begincodespacerange <00> <ff> endcodespacerange\n"
+        b"1 beginbfrange <41> <43> [<0058> <0059> <005a>] endbfrange\n"
+        b"1 beginbfchar <01> <0041> endbfchar\n"
+    )
+    assert width == 1
+    assert cmap[0x41] == "X" and cmap[0x42] == "Y" and cmap[0x43] == "Z"
+    assert cmap[0x01] == "A"
+
+
+def test_winansi_encoding_decodes_cp1252_bytes():
+    from doclayout_yolo_spark.pdf import build_pdf, parse_pdf_blocks
+
+    wtext = "smart “quotes” and € dash — plus ™"
+    raw = build_pdf(
+        [("Title X", 24.0, 60.0, 80.0), (wtext, 12.0, 60.0, 150.0)],
+        style="winansi",
+    )
+    blocks, _, _ = parse_pdf_blocks(raw)
+    assert blocks[1].text == wtext
+
+
+def test_octal_escapes_in_literal_strings():
+    from doclayout_yolo_spark.pdf import parse_pdf_blocks as parse
+
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 999 >>\nstream\n"
+        b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (A\\053B \\101gain) Tj ET"
+        b"\nendstream\nendobj\n"
+    )
+    blocks, _, _ = parse(raw)
+    assert blocks[0].text == "A+B Again"  # \053='+', \101='A'
+
+
+def test_hex_items_inside_tj_array():
+    from doclayout_yolo_spark.pdf import parse_pdf_blocks as parse
+
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 999 >>\nstream\n"
+        b"BT /F1 12 Tf 1 0 0 1 50 700 Tm"
+        b" [<486579> -250 (there) -40 <21>] TJ ET\nendstream\nendobj\n"
+    )
+    blocks, _, _ = parse(raw)
+    assert blocks[0].text == "Hey there!"
+
+
+def test_undecodable_page_keeps_its_slot():
+    # a page whose /Contents stream is corrupt contributes zero blocks
+    # AT ITS POSITION: later pages must not shift up the scroll
+    from doclayout_yolo_spark.pdf import build_pdf_pages, parse_pdf_blocks
+
+    raw = build_pdf_pages(
+        [
+            [("first page", 12.0, 60.0, 150.0)],
+            [("second page", 12.0, 60.0, 150.0)],
+            [("third page", 12.0, 60.0, 150.0)],
+        ],
+        compress=True,
+    )
+    # corrupt ONLY page 2's flate body (objects: 1 cat, 2 pages, 3 font,
+    # 4/6/8 page dicts, 5/7/9 content streams)
+    import re as _re
+
+    streams = list(_re.finditer(rb"stream\r?\n(.*?)endstream", raw, _re.S))
+    assert len(streams) == 3
+    s = streams[1]
+    raw = raw[: s.start(1)] + b"X" * (s.end(1) - s.start(1)) + raw[s.end(1):]
+    blocks, _w, total_h = parse_pdf_blocks(raw)
+    assert [b.text for b in blocks] == ["first page", "third page"]
+    page_h = total_h / 3
+    assert blocks[1].y1 > 2 * page_h  # third page stays on slot 3
 
 
 def test_tj_kern_threshold_and_small_kerns():

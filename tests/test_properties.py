@@ -142,7 +142,7 @@ _pdf_text = st.text(
     sizes=st.lists(st.sampled_from([9.0, 12.0, 14.0, 18.0, 24.0]),
                    min_size=6, max_size=6),
     seed=st.integers(0, 999),
-    style=st.sampled_from(["Tj", "TJ", "Tstar"]),
+    style=st.sampled_from(["Tj", "TJ", "Tstar", "hex", "hexTJ", "winansi", "cid"]),
     compress=st.booleans(),
 )
 @settings(max_examples=120, deadline=None)
@@ -150,8 +150,10 @@ def test_pdf_writer_parser_roundtrip(texts, sizes, seed, style, compress):
     """build_pdf -> parse_pdf_blocks round-trips every text object's
     (normalized) text, position, and font-derived tag — including PDF
     string metacharacters — for content placed outside the boilerplate
-    strips, across all three show-operator styles (literal Tj, kerned
-    TJ arrays, TL/T* line advances) and FlateDecode compression."""
+    strips, across all show-operator styles (literal Tj, kerned TJ
+    arrays, TL/T* line advances, single-byte hex strings, hex TJ
+    segments, WinAnsi-encoded literals, and 2-byte CID codes decoded
+    through a /ToUnicode CMap) and FlateDecode compression."""
     import numpy as np
 
     from doclayout_yolo_spark.extract import _norm_ws
