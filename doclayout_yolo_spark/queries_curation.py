@@ -886,6 +886,39 @@ def lang_temperature_sample(spark, sf_dir):
     )
 
 
+def lang_temperature_sample_v2(spark, sf_dir):
+    """Temperature sampling over the FULL crawl script set: language
+    comes from ``lang_id_v2``'s 8-class prediction (zh/ja/ko/ru/ar/hi/
+    es/pt on the mixed-script fixture) instead of the corpus's ASCII
+    ``lang`` column — the composition a multilingual pretraining mix
+    actually runs (identify, then rebalance).  Same alpha math and
+    decimal-sum normalizer as v1."""
+    from .queries_text import lang_id_v2  # noqa: PLC0415
+
+    d = lang_id_v2(spark, sf_dir).select(F.col("pred_lang").alias("lang"))
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_df = d.agg(F.count("*").alias("n"))
+    w = counts.crossJoin(F.broadcast(n_df)).withColumn(
+        "w",
+        F.round(
+            F.pow(F.col("n_docs") / F.col("n").cast("double"), LANG_ALPHA), 12
+        ),
+    )
+    z = w.agg(F.sum(F.col("w").cast("decimal(20,15)")).alias("z"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("n").cast("double"), 6).alias("share"),
+            F.round(F.col("w") / F.col("z").cast("double"), 6).alias("p_sample"),
+            F.round(
+                F.col("w") / F.col("z").cast("double") * LANG_BUDGET, 3
+            ).alias("expected_docs"),
+        )
+    )
+
+
 LANG_TEMPERATURE_SQL = f"""
 WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
 nn AS (SELECT COUNT(*) AS n FROM documents),
@@ -904,6 +937,33 @@ SELECT lang,
        round(w / CAST(z AS DOUBLE) * {LANG_BUDGET}, 3) AS expected_docs
 FROM w, z
 """
+
+
+def _lang_temperature_v2_sql() -> str:
+    from .queries_text import LANG_ID_V2_SQL  # noqa: PLC0415
+
+    return f"""
+WITH pred AS ({LANG_ID_V2_SQL}),
+c AS (SELECT pred_lang AS lang, COUNT(*) AS n_docs FROM pred GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM pred),
+w AS (
+  SELECT lang, n_docs,
+         round(pow(n_docs / CAST(n AS DOUBLE), CAST({LANG_ALPHA} AS DOUBLE)),
+               12) AS w,
+         n
+  FROM c, nn
+),
+z AS (SELECT SUM(CAST(w AS DECIMAL(20,15))) AS z FROM w)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_docs / CAST(n AS DOUBLE), 6) AS share,
+       round(w / CAST(z AS DOUBLE), 6) AS p_sample,
+       round(w / CAST(z AS DOUBLE) * {LANG_BUDGET}, 3) AS expected_docs
+FROM w, z
+"""
+
+
+LANG_TEMPERATURE_V2_SQL = _lang_temperature_v2_sql()
 
 
 # --- sketch accuracy: HLL approx-distinct vs exact ---------------------------
@@ -1249,6 +1309,10 @@ CURATION_QUERIES = {
     ),
     "host_quality_report": (host_quality_report, HOST_QUALITY_SQL),
     "lang_temperature_sample": (lang_temperature_sample, LANG_TEMPERATURE_SQL),
+    "lang_temperature_sample_v2": (
+        lang_temperature_sample_v2,
+        LANG_TEMPERATURE_V2_SQL,
+    ),
     "approx_distinct_accuracy": (approx_distinct_accuracy, APPROX_DISTINCT_SQL),
     "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
     "dedup_paragraphs": (dedup_paragraphs, DEDUP_PARAGRAPHS_SQL),

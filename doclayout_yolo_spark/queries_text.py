@@ -1588,6 +1588,127 @@ SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+def corpus_curation_v3(spark, sf_dir):
+    """The FULL 100 TB curation funnel as one oracled query — v2 plus
+    the stages it was missing: real extraction feeds the chain, and
+    MinHash near-dup collapse runs after exact dedup.
+
+    extraction -> exact dedup (window on md5, min-doc_id winner — one
+    pass, no groupBy+join-back that AQE could broadcast at corpus
+    size) -> near-dup collapse (LSH-verified Jaccard clusters, keep
+    the cluster-minimum representative; exact losers are gone already,
+    and a component's minimum is always an exact winner, so exactly
+    one doc survives per near-dup component) -> eval-set
+    decontamination -> PII redaction -> quality gate.
+
+    The extraction leg is REAL (body-only synthesized pages run the
+    full detector/NMS/reading-order kernel; nav+footer boilerplate is
+    stripped), and for this controlled page shape extracted_text ==
+    text — the identity closed form the oracle uses.  Output shape
+    matches v2: one row per surviving training doc."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from .pipeline import extract_pages  # noqa: PLC0415
+
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit(
+            '<html><head><title>d</title></head><body>'
+            '<nav><p><a href="/x">home</a></p></nav><p>'
+        ),
+        F.col("text"),
+        F.lit("</p><footer><p>copyright</p></footer></body></html>"),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://testdata.local/cdoc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    extracted = extract_pages(pages, n_buckets=64).select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+        F.col("extracted_text").alias("text"),
+    )
+    # exact dedup in the same pass as extraction: first doc_id per
+    # fingerprint wins (window, not groupBy-min + join-back)
+    wfp = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        extracted.withColumn("rk", F.row_number().over(wfp))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    sh = _shingles(spark, sf_dir)
+    eval_sh = sh.filter(F.col("doc_id") < N_EVAL_DOCS).select("sh").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") >= N_EVAL_DOCS)
+        .join(F.broadcast(eval_sh), "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    clusters = dedup_clusters(spark, sf_dir)
+    dirty = F.expr(_PII_TEXT.format(str_t="STRING"))
+    clean = F.regexp_replace(
+        F.regexp_replace(dirty, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return (
+        deduped.filter(F.col("doc_id") >= N_EVAL_DOCS)
+        .join(contaminated, "doc_id", "left_anti")
+        .join(clusters.withColumnRenamed("cluster_id", "cl"), "doc_id", "left")
+        .filter(F.col("cl").isNull() | (F.col("cl") == F.col("doc_id")))
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+            F.md5(clean).alias("clean_fingerprint"),
+        )
+        .filter(F.col("n_words") >= CURATION_MIN_WORDS)
+    )
+
+
+CURATION_V3_SQL = f"""
+WITH RECURSIVE {_LSH_CTES.rstrip()},
+pairs AS (
+  SELECT doc_a, doc_b,{_LSH_FINAL}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+  UNION
+  SELECT doc_a, doc_a FROM pairs
+  UNION
+  SELECT doc_b, doc_b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+dedup AS (
+  SELECT doc_id, text FROM documents
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+eval_sh AS (SELECT DISTINCT sh FROM all_sh WHERE doc_id < {N_EVAL_DOCS}),
+contaminated AS (
+  SELECT DISTINCT t.doc_id FROM all_sh t JOIN eval_sh e ON t.sh = e.sh
+  WHERE t.doc_id >= {N_EVAL_DOCS}
+)
+SELECT d.doc_id,
+       CAST(LENGTH(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       md5(regexp_replace(regexp_replace(
+             {_PII_TEXT_D},
+             '{_EMAIL_RE}', '[EMAIL]', 'g'),
+           '{_PHONE_RE}', '[PHONE]', 'g')) AS clean_fingerprint
+FROM dedup d
+LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+LEFT JOIN clusters cl ON d.doc_id = cl.doc_id
+WHERE d.doc_id >= {N_EVAL_DOCS}
+  AND c.doc_id IS NULL
+  AND (cl.doc_id IS NULL OR cl.cluster_id = d.doc_id)
+  AND LENGTH(string_split(d.text, ' ')) >= {CURATION_MIN_WORDS}
+"""
+
+
 # --- mixed-script fixture queries ---------------------------------------------
 #
 # The driver corpus is ASCII-only, so the CJK degradation path would
@@ -1695,8 +1816,128 @@ FROM s
 """
 
 
+# --- lang_id_v2: Common-Crawl script breadth ---------------------------------
+#
+# A real crawl needs at least Cyrillic / Arabic / Devanagari classes
+# (plus es/pt markers) before temperature sampling is meaningful.  The
+# driver corpus is ASCII-only, so each doc gets a deterministic
+# per-doc_id suffix in one of 8 languages — synthesized identically in
+# both engines — and the value-hash gate proves script counting and
+# the marker argmax agree.
+
+_CYRILLIC = "[Ѐ-ӿ]"      # U+0400-U+04FF
+_ARABIC = "[؀-ۿ]"        # U+0600-U+06FF
+_DEVANAGARI = "[ऀ-ॿ]"    # U+0900-U+097F
+
+_MARKERS_V2 = {
+    "es": ("el", "que", "los"),
+    "pt": ("uma", "não", "são"),
+}
+
+_MIXED8_CASE = (
+    "CASE CAST(doc_id % 8 AS INT)"
+    " WHEN 0 THEN ' 机器学习模型训练'"
+    " WHEN 1 THEN ' データ処理パイプライン'"
+    " WHEN 2 THEN ' 데이터 중복 제거'"
+    " WHEN 3 THEN ' обработка данных и моделей'"
+    " WHEN 4 THEN ' معالجة البيانات والنماذج'"
+    " WHEN 5 THEN ' डेटा प्रसंस्करण और मॉडल'"
+    # marker-dense so the short suffix outvotes the English head
+    " WHEN 6 THEN ' el que los el que los el que los'"
+    " ELSE ' uma não são uma não são uma não são' END"
+)
+_MIXED8_EXPR = f"concat(substring(text, 1, 40), {_MIXED8_CASE})"
+
+
+def lang_id_v2(spark, sf_dir):
+    """lang_id over the full crawl script set: CJK (zh/ja/ko via
+    Han/kana/Hangul codepoint counts, kana>Hangul>Han precedence),
+    Cyrillic->ru, Arabic->ar, Devanagari->hi, and a 5-way Latin marker
+    argmax (en/de/fr/es/pt) as the fallback — script evidence always
+    outranks marker evidence, mirroring how fastText-style IDs treat
+    unambiguous scripts."""
+    d = _docs(spark, sf_dir).selectExpr("doc_id", f"{_MIXED8_EXPR} AS text")
+
+    def n_of(cls):
+        return F.length(F.regexp_replace(F.col("text"), f"[^{cls[1:-1]}]", ""))
+
+    n_han, n_kana, n_hang = n_of(_HAN), n_of(_KANA), n_of(_HANGUL)
+    n_cyr, n_ar, n_dev = n_of(_CYRILLIC), n_of(_ARABIC), n_of(_DEVANAGARI)
+    sc = {
+        lang: sum((_occ_spark(w) for w in ws[1:]), _occ_spark(ws[0]))
+        for lang, ws in {**_MARKERS, **_MARKERS_V2}.items()
+    }
+    latin = (
+        F.when(
+            (sc["en"] >= sc["de"]) & (sc["en"] >= sc["fr"])
+            & (sc["en"] >= sc["es"]) & (sc["en"] >= sc["pt"]),
+            "en",
+        )
+        .when((sc["de"] >= sc["fr"]) & (sc["de"] >= sc["es"]) & (sc["de"] >= sc["pt"]), "de")
+        .when((sc["fr"] >= sc["es"]) & (sc["fr"] >= sc["pt"]), "fr")
+        .when(sc["es"] >= sc["pt"], "es")
+        .otherwise("pt")
+    )
+    pred = (
+        F.when((n_kana > 0) & (n_kana >= n_hang), "ja")
+        .when((n_hang > 0) & (n_hang >= n_han), "ko")
+        .when(n_han > 0, "zh")
+        .when(n_cyr > 0, "ru")
+        .when(n_ar > 0, "ar")
+        .when(n_dev > 0, "hi")
+        .otherwise(latin)
+    )
+    return d.select(
+        "doc_id",
+        n_cyr.cast("long").alias("score_ru"),
+        n_ar.cast("long").alias("score_ar"),
+        n_dev.cast("long").alias("score_hi"),
+        sc["es"].cast("long").alias("score_es"),
+        sc["pt"].cast("long").alias("score_pt"),
+        pred.alias("pred_lang"),
+    )
+
+
+def _lang_score_v2_duck(lang: str) -> str:
+    return " + ".join(_occ_duck(w) for w in {**_MARKERS, **_MARKERS_V2}[lang])
+
+
+LANG_ID_V2_SQL = f"""
+WITH m AS (SELECT doc_id, {_MIXED8_EXPR} AS text FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(LENGTH(regexp_replace(text, '[^{_HAN[1:-1]}]', '', 'g')) AS BIGINT) AS n_han,
+         CAST(LENGTH(regexp_replace(text, '[^{_KANA[1:-1]}]', '', 'g')) AS BIGINT) AS n_kana,
+         CAST(LENGTH(regexp_replace(text, '[^{_HANGUL[1:-1]}]', '', 'g')) AS BIGINT) AS n_hang,
+         CAST(LENGTH(regexp_replace(text, '[^{_CYRILLIC[1:-1]}]', '', 'g')) AS BIGINT) AS score_ru,
+         CAST(LENGTH(regexp_replace(text, '[^{_ARABIC[1:-1]}]', '', 'g')) AS BIGINT) AS score_ar,
+         CAST(LENGTH(regexp_replace(text, '[^{_DEVANAGARI[1:-1]}]', '', 'g')) AS BIGINT) AS score_hi,
+         CAST({_lang_score_v2_duck("en")} AS BIGINT) AS s_en,
+         CAST({_lang_score_v2_duck("de")} AS BIGINT) AS s_de,
+         CAST({_lang_score_v2_duck("fr")} AS BIGINT) AS s_fr,
+         CAST({_lang_score_v2_duck("es")} AS BIGINT) AS score_es,
+         CAST({_lang_score_v2_duck("pt")} AS BIGINT) AS score_pt
+  FROM m
+)
+SELECT doc_id, score_ru, score_ar, score_hi, score_es, score_pt,
+       CASE WHEN n_kana > 0 AND n_kana >= n_hang THEN 'ja'
+            WHEN n_hang > 0 AND n_hang >= n_han THEN 'ko'
+            WHEN n_han > 0 THEN 'zh'
+            WHEN score_ru > 0 THEN 'ru'
+            WHEN score_ar > 0 THEN 'ar'
+            WHEN score_hi > 0 THEN 'hi'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= score_es AND s_en >= score_pt THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= score_es AND s_de >= score_pt THEN 'de'
+            WHEN s_fr >= score_es AND s_fr >= score_pt THEN 'fr'
+            WHEN score_es >= score_pt THEN 'es'
+            ELSE 'pt' END AS pred_lang
+FROM s
+"""
+
+
 TEXT_QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
+    "lang_id_v2": (lang_id_v2, LANG_ID_V2_SQL),
     "tokenize_mixed_script": (tokenize_mixed_script, TOKENIZE_MIXED_SQL),
     "lang_id_cjk": (lang_id_cjk, LANG_ID_CJK_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
@@ -1705,6 +1946,7 @@ TEXT_QUERIES = {
     "redact_pii": (redact_pii, REDACT_SQL),
     "dup_sentence_fraction": (dup_sentence_fraction, DUP_SENT_SQL),
     "corpus_curation_v2": (corpus_curation_v2, CURATION_V2_SQL),
+    "corpus_curation_v3": (corpus_curation_v3, CURATION_V3_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
