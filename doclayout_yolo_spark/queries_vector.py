@@ -738,8 +738,8 @@ def _ivf_assigned(spark, sf_dir):
             v = np.array(pdf["vec"].tolist(), dtype=np.float64).reshape(-1, DIM)
             nv = np.sqrt((v * v).sum(axis=1))
             sims = _round_half_away(v @ cmat.T / np.outer(nv, cn), 6)
-            # stable argsort on (-sim, cent_id): first two columns are
-            # the nprobe=1 and nprobe=2 cells
+            # stable argsort on (-sim, cent_id): the first four columns
+            # are the nprobe=1..4 probe cells
             order = np.argsort(-sims, axis=1, kind="stable")
             yield pd.DataFrame(
                 {
@@ -747,21 +747,24 @@ def _ivf_assigned(spark, sf_dir):
                     "vec": pdf["vec"],
                     "cell": order[:, 0].astype("int32"),
                     "cell2": order[:, 1].astype("int32"),
+                    "cell3": order[:, 2].astype("int32"),
+                    "cell4": order[:, 3].astype("int32"),
                 }
             )
 
     return emb.mapInPandas(
-        kernel, schema="vec_id long, vec array<double>, cell int, cell2 int"
+        kernel,
+        schema="vec_id long, vec array<double>, cell int, cell2 int,"
+        " cell3 int, cell4 int",
     )
+
+
+_PROBE_COLS = ("cell", "cell2", "cell3", "cell4")
 
 
 def _ivf_topk(assigned, nprobe: int):
     """Top-k by exact cosine over the query's nprobe nearest cells."""
-    probe_cells = (
-        F.array(F.col("cell"))
-        if nprobe == 1
-        else F.array(F.col("cell"), F.col("cell2"))
-    )
+    probe_cells = F.array(*[F.col(c) for c in _PROBE_COLS[:nprobe]])
     q = (
         _with_norm(assigned.filter(F.col("vec_id") < N_QUERIES))
         .select(
@@ -1059,6 +1062,72 @@ def ann_pq_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir).select("vec_id", "vec")
     qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
     return _pq_adc_topk(spark, emb, cb, qrows)
+
+
+def ann_ivf_pq_topk(spark, sf_dir, nprobe: int = 1):
+    """IVF + PQ composed — the production ANN shape: candidates come
+    from the query's ``nprobe`` nearest coarse cells (IVF restriction)
+    and are ranked by ADC table-lookup distance (PQ compression), so
+    neither the full corpus is scanned NOR full vectors are read for
+    ranking.  Cost per query ~ (corpus/K_CELLS) * nprobe * M lookups.
+    Used by tools/ann_tradeoff_bench.py to measure the recall/latency
+    surface; not a contract query (its two halves are each oracled:
+    ann_ivf* and ann_pq*)."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    cb = _pq_codebook(spark, sf_dir)
+    qrows = sorted(
+        assigned.filter(F.col("vec_id") < N_QUERIES).select(
+            "vec_id", "vec", *_PROBE_COLS[:nprobe]
+        ).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qv = np.array([r["vec"] for r in qrows], dtype=np.float64).reshape(
+        len(qrows), PQ_M, PQ_SUBDIM
+    )
+    dt_rows = [
+        (
+            int(qrows[qi]["vec_id"]),
+            m,
+            c,
+            float(_round_half_away(((qv[qi, m] - cb[c, m]) ** 2).sum(), 6)),
+        )
+        for qi in range(len(qrows))
+        for m in range(PQ_M)
+        for c in range(PQ_KSUB)
+    ]
+    dt = spark.createDataFrame(
+        dt_rows, schema="query_id long, m int, code int, d2 double"
+    )
+    q_probe = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), int(r[c]))
+            for r in qrows
+            for c in _PROBE_COLS[:nprobe]
+        ],
+        schema="query_id long, cell int",
+    )
+    enc = _pq_encoded(assigned.select("vec_id", "vec"), cb).join(
+        assigned.select("vec_id", "cell"), "vec_id"
+    )
+    exploded = enc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.posexplode(F.array(*[F.col(f"code_{m}") for m in range(PQ_M)])).alias(
+            "m", "code"
+        ),
+    )
+    scored = (
+        exploded.join(F.broadcast(q_probe), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(dt), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), 6).alias("approx_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+    )
 
 
 def ann_pq_planted_recall(spark, sf_dir):
