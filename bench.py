@@ -51,6 +51,9 @@ HEADLINE = [
     "link_graph_pagerank",
     "event_funnel",
     "inverted_index",
+    "corpus_curation_v3",
+    "extract_pdf_pages_cid",
+    "lang_id_v2",
 ]
 
 N_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000"))

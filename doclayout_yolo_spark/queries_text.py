@@ -1506,6 +1506,9 @@ SELECT event_type, event_id, value, sample_rank FROM (
 MAX_CC_ITERS = 20
 
 
+_CLUSTER_CACHE: dict = {}
+
+
 def dedup_clusters(spark, sf_dir):
     """Group near-duplicate documents into clusters: connected
     components over the Jaccard>=threshold pair graph via iterative
@@ -1517,6 +1520,27 @@ def dedup_clusters(spark, sf_dir):
     Output: (doc_id, cluster_id = min doc_id of the component)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    import os  # noqa: PLC0415
+
+    app = spark.sparkContext.applicationId
+    try:
+        mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
+    except OSError:
+        mtime = -1.0
+    key = (app, sf_dir, mtime)
+    # memoized per (app, sf_dir, mtime): the iterative propagation runs
+    # driver-side ACTIONS at build time, so every builder call would
+    # otherwise re-run the whole loop AND leak one cached labels DF
+    for k in [k for k in _CLUSTER_CACHE if k[0] != app or (k[1] == sf_dir and k != key)]:
+        if k[0] == app:
+            try:
+                _CLUSTER_CACHE[k].unpersist(blocking=False)
+            except Exception:
+                pass
+        del _CLUSTER_CACHE[k]
+    cached = _CLUSTER_CACHE.get(key)
+    if cached is not None:
+        return cached.select("doc_id", "cluster_id")
     pairs = dedup_jaccard_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -1557,6 +1581,7 @@ def dedup_clusters(spark, sf_dir):
         if changed == 0:
             break
     edges.unpersist()
+    _CLUSTER_CACHE[key] = labels
     return labels.select("doc_id", "cluster_id")
 
 
