@@ -33,6 +33,36 @@ def read_pages_stream(
     )
 
 
+def read_pages_rate_stream(
+    spark: SparkSession, rows_per_batch: int = 64
+) -> DataFrame:
+    """Kafka-style UNBOUNDED ingest: Spark's built-in ``rate-micro-batch``
+    source emits a deterministic monotonically-increasing ``value`` per
+    row; an Arrow kernel turns each value into the seeded fixture page
+    with that id, so the stream's content is byte-comparable to the
+    batch generator — streaming-vs-batch identity can be asserted, not
+    assumed.  A real Kafka topic follows the same shape
+    (``readStream.format("kafka")`` -> value bytes -> parse kernel);
+    the Kafka connector jar is not in this sandbox, so the rate source
+    is the documented stand-in with identical downstream semantics
+    (unbounded, offset-checkpointed, micro-batched)."""
+    from .fixtures import make_rows  # noqa: PLC0415
+
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield make_rows(pdf["value"].to_numpy(), (2, 6))
+
+    return raw.select("value").mapInPandas(gen, schema=PAGES_DDL)
+
+
 def write_extracted_batch(
     batch_df: DataFrame, batch_id: int, output_dir: str, n_buckets: int = 64
 ) -> None:

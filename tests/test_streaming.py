@@ -43,6 +43,60 @@ def test_stream_equals_batch(spark, tmp_path_factory):
     assert spark.read.parquet(out_dir).count() == N
 
 
+def test_rate_source_stream_equals_batch(spark, tmp_path_factory):
+    # Kafka-style UNBOUNDED source (rate-micro-batch stand-in): pages
+    # synthesized from the stream's value column must extract
+    # byte-identically to the batch generator for the same ids
+    import time
+
+    from doclayout_yolo_spark.fixtures import generate_pages_df
+    from doclayout_yolo_spark.streaming import (
+        read_pages_rate_stream,
+        write_extracted_batch,
+    )
+
+    base = tmp_path_factory.mktemp("rate")
+    out_dir, ckpt = str(base / "out"), str(base / "ckpt")
+    stream = read_pages_rate_stream(spark, rows_per_batch=40)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: write_extracted_batch(df, bid, out_dir, n_buckets=16)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    deadline = time.time() + 120
+    got = {}
+    while time.time() < deadline:
+        try:
+            got = {
+                r["url"]: r["extracted_text"]
+                for r in spark.read.parquet(out_dir).collect()
+            }
+        except Exception:
+            got = {}
+        if len(got) >= 40:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    # consistent re-read after the stream is fully stopped
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(got) >= 40
+    want = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages(
+            generate_pages_df(spark, len(got) + 40), n_buckets=16
+        ).collect()
+    }
+    # every streamed url matches the batch path byte-for-byte
+    for url, text in got.items():
+        assert want[url] == text
+
+
 def test_stream_static_enrichment_join(spark, tmp_path_factory):
     from doclayout_yolo_spark.streaming import enriched_pages_stream, read_pages_stream
 
