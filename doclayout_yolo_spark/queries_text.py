@@ -1560,6 +1560,14 @@ def dedup_clusters(spark, sf_dir):
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        # localCheckpoint TRUNCATES the lineage each iteration: a
+        # cache/unpersist chain keeps every prior iteration in the
+        # logical plan, and because each step references `labels`
+        # twice the plan grows EXPONENTIALLY with iterations (measured
+        # 25k-line plan / 1600 printed scans at 6 iterations before
+        # this fix) — a driver analysis-time blowup long before any
+        # executor works.  On a cluster a reliable checkpoint dir
+        # gives the same truncation with fault tolerance.
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
@@ -1568,15 +1576,14 @@ def dedup_clusters(spark, sf_dir):
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
+            .localCheckpoint(eager=True)
         )
-        new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -289,3 +289,19 @@ def test_pagerank_no_windows_broadcast_count(spark):
     plan = plan_of(link_graph_pagerank(spark, SF_DIR), "simple")
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row count cross join
+
+
+def test_curation_v3_single_extraction_bounded_plan(spark):
+    # the full funnel: EXACTLY one extraction kernel instance feeds the
+    # chain (exact-dedup is a window on its output, not a second run),
+    # the shingle subtree comes from the persisted cache, and the
+    # iterative cluster labels are lineage-TRUNCATED (localCheckpoint):
+    # before the fix the plan was ~25k lines with ~1600 printed scans
+    # (exponential label-propagation lineage) — a driver blowup
+    from doclayout_yolo_spark.queries_text import corpus_curation_v3
+
+    plan = plan_of(corpus_curation_v3(spark, SF_DIR), "simple")
+    assert plan.count("MapInPandas") == 1          # one extraction kernel
+    assert "Scan ExistingRDD" in plan              # checkpointed labels
+    assert plan.count("FileScan parquet") <= 6
+    assert plan.count("\n") < 300                  # bounded, not exponential
