@@ -1848,6 +1848,118 @@ FROM s
 """
 
 
+# --- unigram cross-entropy quality signal ------------------------------------
+#
+# The KenLM-style perplexity filter every CCNet/RedPajama-style corpus
+# pipeline runs, with the LM derived FROM the corpus itself (a unigram
+# model: p(t) = tf_corpus(t) / total).  Per-doc score = mean surprisal
+# -log2 p(t) over its tokens; templated/boilerplate docs (common
+# tokens) score low, rare-token gibberish scores high.  Parity: each
+# token's surprisal is ROUND(.,8) then summed as exact DECIMAL so the
+# mean is fold-order-free; perplexity = 2^mean on the rounded mean.
+# Scale: two counting aggregations + one token-keyed join — the term
+# table is Zipfian but the join key is (tok), partial-aggregated
+# before the exchange.
+
+
+def unigram_surprisal(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.expr(_toks_spark("text"))).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total"))
+    surp = F.round(
+        -F.log2(F.col("cnt") / F.col("total").cast("double")), 8
+    )
+    scored = (
+        toks.join(tf, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (
+                F.sum(surp.cast("decimal(24,10)"))
+                / F.count("*")
+            ).cast("double").alias("mean_surprisal_raw"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("mean_surprisal_raw"), 6).alias("mean_surprisal"),
+        F.round(F.pow(F.lit(2.0), F.round(F.col("mean_surprisal_raw"), 6)), 4)
+        .alias("perplexity"),
+    )
+
+
+UNIGRAM_SURPRISAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_TOKS_DUCK_TEXT}) AS tok FROM documents
+),
+tf AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT COUNT(*) AS total FROM toks),
+scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(ROUND(-log2(cnt / CAST(total AS DOUBLE)), 8)
+                       AS DECIMAL(24,10))) / COUNT(*) AS DOUBLE)
+           AS mean_surprisal_raw
+  FROM toks JOIN tf USING (tok), total
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(mean_surprisal_raw, 6) AS mean_surprisal,
+       ROUND(pow(2.0, ROUND(mean_surprisal_raw, 6)), 4) AS perplexity
+FROM scored
+"""
+
+
+# --- per-domain token budget -------------------------------------------------
+#
+# The anti-domination sampler every web corpus applies (no single
+# domain may contribute more than B tokens to the training mix): docs
+# stream per source in doc_id order and are kept while the RUNNING
+# token total before the doc is under budget — so the doc that crosses
+# the line is still taken (standard greedy knapsack-by-order), and
+# everything after it is cut.  One window per source; at crawl scale
+# the partition key is the domain, exactly the key the data is already
+# laid out by after url-hash bucketing.
+
+DOMAIN_TOKEN_BUDGET = 800
+
+
+def domain_token_budget(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = W.partitionBy("source").orderBy("doc_id")
+    scored = d.select("doc_id", "source", n_tok.alias("n_tokens")).withColumn(
+        "cum_before", F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long")
+    )
+    return scored.filter(F.col("cum_before") < DOMAIN_TOKEN_BUDGET).select(
+        "doc_id", "source", "n_tokens",
+        (F.col("cum_before") + F.col("n_tokens")).alias("cum_tokens"),
+    )
+
+
+DOMAIN_BUDGET_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(LENGTH(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(LENGTH(string_split(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM documents
+)
+SELECT doc_id, source, n_tokens, cum_before + n_tokens AS cum_tokens
+FROM scored WHERE cum_before < {DOMAIN_TOKEN_BUDGET}
+"""
+
+
 # --- lang_id_v2: Common-Crawl script breadth ---------------------------------
 #
 # A real crawl needs at least Cyrillic / Arabic / Devanagari classes
@@ -1970,6 +2082,8 @@ FROM s
 TEXT_QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "lang_id_v2": (lang_id_v2, LANG_ID_V2_SQL),
+    "unigram_surprisal": (unigram_surprisal, UNIGRAM_SURPRISAL_SQL),
+    "domain_token_budget": (domain_token_budget, DOMAIN_BUDGET_SQL),
     "tokenize_mixed_script": (tokenize_mixed_script, TOKENIZE_MIXED_SQL),
     "lang_id_cjk": (lang_id_cjk, LANG_ID_CJK_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),

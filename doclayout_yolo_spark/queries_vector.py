@@ -1292,6 +1292,36 @@ FROM (SELECT vec_id AS vec_a, vec_id + {PLANT_OFFSET} AS vec_b
 LEFT JOIN pq ON pq.query_id = t.vec_a AND pq.neighbor_id = t.vec_b
 """
 
+IVFPQ_NPROBE = 2
+
+
+def ann_ivf_pq(spark, sf_dir):
+    """Contract rendering of the IVF+PQ composition at nprobe=2 —
+    both halves individually oracled (ann_ivf*, ann_pq*); this gates
+    the composition itself."""
+    return ann_ivf_pq_topk(spark, sf_dir, nprobe=IVFPQ_NPROBE)
+
+
+ANN_IVF_PQ_SQL = f"""
+{_IVF_RANKED},
+{_pq_ctes_duck("e", N_QUERIES)},
+qprobe AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM ranked
+  WHERE rn <= {IVFPQ_NPROBE} AND vec_id < {N_QUERIES}
+),
+restricted AS (
+  SELECT s.query_id, s.neighbor_id, s.approx_dist
+  FROM scored s
+  JOIN assigned t ON t.vec_id = s.neighbor_id
+  JOIN qprobe qp ON qp.query_id = s.query_id AND qp.cell = t.cell
+)
+SELECT query_id, neighbor_id, approx_dist, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+  FROM restricted
+) WHERE rank <= {TOPK}
+"""
+
 ANN_PQ_RECALL_SQL = f"""
 WITH {_E_CTE},
 {_pq_ctes_duck("e", N_QUERIES)},
@@ -1342,6 +1372,7 @@ VECTOR_QUERIES = {
     "ann_ivf_recall": (ann_ivf_recall, ANN_IVF_RECALL_SQL),
     "ivf_centroid_update": (ivf_centroid_update, IVF_CENTROID_SQL),
     "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
+    "ann_ivf_pq": (ann_ivf_pq, ANN_IVF_PQ_SQL),
     "ann_pq_recall": (ann_pq_recall, ANN_PQ_RECALL_SQL),
     "ann_pq_planted_recall": (ann_pq_planted_recall, ANN_PQ_PLANTED_SQL),
 }
