@@ -152,7 +152,16 @@ class _Font:
             out = []
             for i in range(0, len(data) - w + 1, w):
                 code = int.from_bytes(data[i : i + w], "big")
-                out.append(self.cmap.get(code, chr(code)))
+                got = self.cmap.get(code)
+                if got is None:
+                    # unmapped CID: chr() of the raw code, EXCEPT the
+                    # UTF-16 surrogate range — a lone surrogate in
+                    # extracted_text crashes Arrow batch serialization
+                    # OUTSIDE the per-doc quarantine wrapper (task
+                    # failure, not quarantine), and surrogate-range
+                    # glyph ids are common in real Identity-H fonts
+                    got = "�" if 0xD800 <= code <= 0xDFFF else chr(code)
+                out.append(got)
             return "".join(out)
         if self.winansi:
             return "".join(_WINANSI_TABLE[c] for c in data)
@@ -195,15 +204,22 @@ def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
     for section in _BFRANGE_RE.findall(data):
         for m in _RANGE_RE.finditer(section):
             lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            # cap the expansion: a corrupt/adversarial range like
+            # <00000000> <ffffffff> would otherwise loop 4e9 times and
+            # OOM the executor — unbounded WORK is not caught by the
+            # quarantine wrapper, only exceptions are.  Valid CMaps
+            # never span more than a 16-bit plane per range.
+            hi = min(hi, lo + 0xFFFF)
             if m.group(3) is not None:
                 base = bytes.fromhex(m.group(3).decode("ascii"))
                 base_cp = int.from_bytes(base, "big")
                 nb = len(base)
                 for c in range(lo, hi + 1):
-                    cmap[c] = (
-                        (base_cp + (c - lo)).to_bytes(nb, "big")
-                        .decode("utf-16-be", "replace")
-                    )
+                    try:
+                        dst = (base_cp + (c - lo)).to_bytes(nb, "big")
+                    except OverflowError:
+                        break  # range runs off the destination width
+                    cmap[c] = dst.decode("utf-16-be", "replace")
             else:
                 dsts = _HEXTOK_RE.findall(m.group(4))
                 for c, dst in zip(range(lo, hi + 1), dsts):

@@ -467,7 +467,11 @@ def run_incremental_job(
     of incremental ingestion at 10^12 documents."""
     import shutil  # noqa: PLC0415
 
-    diff = snapshot_diff(old_pages, new_pages)
+    # persisted: the status counts and the affected-bucket collect
+    # both consume the diff, and the full-outer md5 join over two
+    # snapshots is the dominant non-extraction cost at crawl scale —
+    # paying it twice would double it
+    diff = snapshot_diff(old_pages, new_pages).persist()
     counts = {
         r["status"]: r["count"]
         for r in diff.groupBy("status").count().collect()
@@ -478,6 +482,7 @@ def run_incremental_job(
         .distinct()
         .collect()
     )  # bounded by n_buckets — dimension-sized, never corpus-sized
+    diff.unpersist(blocking=False)
     stale = sorted(r["part_id"] for r in affected)
     result = {
         "n_added": int(counts.get("added", 0)),

@@ -855,19 +855,20 @@ LANG_ALPHA = 0.3
 LANG_BUDGET = 1000
 
 
-def lang_temperature_sample(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    n_df = d.agg(F.count("*").alias("n"))
+def _temperature_mix(lang_df):
+    """Shared alpha-rebalancing math over a one-column ``lang`` frame:
+    round the powered weights, DECIMAL-sum the normalizer (order-free),
+    emit share / p_sample / expected_docs.  v1 and v2 differ ONLY in
+    where ``lang`` comes from — the math lives once."""
+    counts = lang_df.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_df = lang_df.agg(F.count("*").alias("n"))
     w = counts.crossJoin(F.broadcast(n_df)).withColumn(
         "w",
         F.round(
             F.pow(F.col("n_docs") / F.col("n").cast("double"), LANG_ALPHA), 12
         ),
     )
-    z = w.agg(
-        F.sum(F.col("w").cast("decimal(20,15)")).alias("z")
-    )
+    z = w.agg(F.sum(F.col("w").cast("decimal(20,15)")).alias("z"))
     return (
         w.crossJoin(F.broadcast(z))
         .select(
@@ -886,6 +887,32 @@ def lang_temperature_sample(spark, sf_dir):
     )
 
 
+# the same math as a SQL template over a `lang_src` CTE body
+_TEMPERATURE_SQL_TMPL = """
+WITH lang_src AS ({lang_src}),
+c AS (SELECT lang, COUNT(*) AS n_docs FROM lang_src GROUP BY lang),
+nn AS (SELECT COUNT(*) AS n FROM lang_src),
+w AS (
+  SELECT lang, n_docs,
+         round(pow(n_docs / CAST(n AS DOUBLE), CAST({alpha} AS DOUBLE)),
+               12) AS w,
+         n
+  FROM c, nn
+),
+z AS (SELECT SUM(CAST(w AS DECIMAL(20,15))) AS z FROM w)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_docs / CAST(n AS DOUBLE), 6) AS share,
+       round(w / CAST(z AS DOUBLE), 6) AS p_sample,
+       round(w / CAST(z AS DOUBLE) * {budget}, 3) AS expected_docs
+FROM w, z
+"""
+
+
+def lang_temperature_sample(spark, sf_dir):
+    return _temperature_mix(_docs(spark, sf_dir).select("lang"))
+
+
 def lang_temperature_sample_v2(spark, sf_dir):
     """Temperature sampling over the FULL crawl script set: language
     comes from ``lang_id_v2``'s 8-class prediction (zh/ja/ko/ru/ar/hi/
@@ -895,72 +922,26 @@ def lang_temperature_sample_v2(spark, sf_dir):
     decimal-sum normalizer as v1."""
     from .queries_text import lang_id_v2  # noqa: PLC0415
 
-    d = lang_id_v2(spark, sf_dir).select(F.col("pred_lang").alias("lang"))
-    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    n_df = d.agg(F.count("*").alias("n"))
-    w = counts.crossJoin(F.broadcast(n_df)).withColumn(
-        "w",
-        F.round(
-            F.pow(F.col("n_docs") / F.col("n").cast("double"), LANG_ALPHA), 12
-        ),
-    )
-    z = w.agg(F.sum(F.col("w").cast("decimal(20,15)")).alias("z"))
-    return (
-        w.crossJoin(F.broadcast(z))
-        .select(
-            "lang",
-            F.col("n_docs").cast("long").alias("n_docs"),
-            F.round(F.col("n_docs") / F.col("n").cast("double"), 6).alias("share"),
-            F.round(F.col("w") / F.col("z").cast("double"), 6).alias("p_sample"),
-            F.round(
-                F.col("w") / F.col("z").cast("double") * LANG_BUDGET, 3
-            ).alias("expected_docs"),
-        )
+    return _temperature_mix(
+        lang_id_v2(spark, sf_dir).select(F.col("pred_lang").alias("lang"))
     )
 
 
-LANG_TEMPERATURE_SQL = f"""
-WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
-nn AS (SELECT COUNT(*) AS n FROM documents),
-w AS (
-  SELECT lang, n_docs,
-         round(pow(n_docs / CAST(n AS DOUBLE), CAST({LANG_ALPHA} AS DOUBLE)),
-               12) AS w,
-         n
-  FROM c, nn
-),
-z AS (SELECT SUM(CAST(w AS DECIMAL(20,15))) AS z FROM w)
-SELECT lang,
-       CAST(n_docs AS BIGINT) AS n_docs,
-       round(n_docs / CAST(n AS DOUBLE), 6) AS share,
-       round(w / CAST(z AS DOUBLE), 6) AS p_sample,
-       round(w / CAST(z AS DOUBLE) * {LANG_BUDGET}, 3) AS expected_docs
-FROM w, z
-"""
+LANG_TEMPERATURE_SQL = _TEMPERATURE_SQL_TMPL.format(
+    lang_src="SELECT lang FROM documents",
+    alpha=LANG_ALPHA,
+    budget=LANG_BUDGET,
+)
 
 
 def _lang_temperature_v2_sql() -> str:
     from .queries_text import LANG_ID_V2_SQL  # noqa: PLC0415
 
-    return f"""
-WITH pred AS ({LANG_ID_V2_SQL}),
-c AS (SELECT pred_lang AS lang, COUNT(*) AS n_docs FROM pred GROUP BY 1),
-nn AS (SELECT COUNT(*) AS n FROM pred),
-w AS (
-  SELECT lang, n_docs,
-         round(pow(n_docs / CAST(n AS DOUBLE), CAST({LANG_ALPHA} AS DOUBLE)),
-               12) AS w,
-         n
-  FROM c, nn
-),
-z AS (SELECT SUM(CAST(w AS DECIMAL(20,15))) AS z FROM w)
-SELECT lang,
-       CAST(n_docs AS BIGINT) AS n_docs,
-       round(n_docs / CAST(n AS DOUBLE), 6) AS share,
-       round(w / CAST(z AS DOUBLE), 6) AS p_sample,
-       round(w / CAST(z AS DOUBLE) * {LANG_BUDGET}, 3) AS expected_docs
-FROM w, z
-"""
+    return _TEMPERATURE_SQL_TMPL.format(
+        lang_src=f"SELECT pred_lang AS lang FROM ({LANG_ID_V2_SQL})",
+        alpha=LANG_ALPHA,
+        budget=LANG_BUDGET,
+    )
 
 
 LANG_TEMPERATURE_V2_SQL = _lang_temperature_v2_sql()

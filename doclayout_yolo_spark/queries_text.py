@@ -312,31 +312,15 @@ def _shingles(spark, sf_dir):
     sweeps, bench loops) reuse ONE persisted DataFrame instead of
     stacking cache entries — and a rewritten fixture under the same
     path invalidates the memo instead of serving stale data (r3
-    ADVICE)."""
-    import os  # noqa: PLC0415
+    ADVICE; policy lives in memo.memo_lookup)."""
+    from .memo import memo_lookup, source_mtime  # noqa: PLC0415
 
-    app = spark.sparkContext.applicationId
-    src = f"{sf_dir}/documents.parquet"
-    try:
-        mtime = os.path.getmtime(src)
-    except OSError:
-        mtime = -1.0
-    key = (app, sf_dir, mtime)
-    # evict entries from previous (stopped) sessions AND stale-mtime
-    # twins of this key so a long-lived process never accumulates dead
-    # or superseded persisted DataFrames
-    for k in [
-        k
-        for k in _SHINGLE_CACHE
-        if k[0] != app or (k[1] == sf_dir and k != key)
-    ]:
-        if k[0] == app:
-            try:
-                _SHINGLE_CACHE[k].unpersist(blocking=False)
-            except Exception:
-                pass
-        del _SHINGLE_CACHE[k]
-    cached = _SHINGLE_CACHE.get(key)
+    key, cached = memo_lookup(
+        _SHINGLE_CACHE,
+        spark.sparkContext.applicationId,
+        sf_dir,
+        source_mtime(f"{sf_dir}/documents.parquet"),
+    )
     if cached is not None:
         return cached
     from pyspark import StorageLevel  # noqa: PLC0415
@@ -1520,25 +1504,17 @@ def dedup_clusters(spark, sf_dir):
     Output: (doc_id, cluster_id = min doc_id of the component)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    import os  # noqa: PLC0415
+    from .memo import memo_lookup, source_mtime  # noqa: PLC0415
 
-    app = spark.sparkContext.applicationId
-    try:
-        mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
-    except OSError:
-        mtime = -1.0
-    key = (app, sf_dir, mtime)
     # memoized per (app, sf_dir, mtime): the iterative propagation runs
     # driver-side ACTIONS at build time, so every builder call would
     # otherwise re-run the whole loop AND leak one cached labels DF
-    for k in [k for k in _CLUSTER_CACHE if k[0] != app or (k[1] == sf_dir and k != key)]:
-        if k[0] == app:
-            try:
-                _CLUSTER_CACHE[k].unpersist(blocking=False)
-            except Exception:
-                pass
-        del _CLUSTER_CACHE[k]
-    cached = _CLUSTER_CACHE.get(key)
+    key, cached = memo_lookup(
+        _CLUSTER_CACHE,
+        spark.sparkContext.applicationId,
+        sf_dir,
+        source_mtime(f"{sf_dir}/documents.parquet"),
+    )
     if cached is not None:
         return cached.select("doc_id", "cluster_id")
     pairs = dedup_jaccard_lsh(spark, sf_dir).select("doc_a", "doc_b")
@@ -1878,10 +1854,14 @@ def unigram_surprisal(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
+            # cast the exact decimal sum to DOUBLE BEFORE dividing:
+            # decimal/bigint division rounds at decimal scale in Spark
+            # but is IEEE double division in DuckDB — the repo-wide
+            # parity rule is double/int division on both sides
             (
-                F.sum(surp.cast("decimal(24,10)"))
+                F.sum(surp.cast("decimal(24,10)")).cast("double")
                 / F.count("*")
-            ).cast("double").alias("mean_surprisal_raw"),
+            ).alias("mean_surprisal_raw"),
         )
     )
     return scored.select(
@@ -1903,7 +1883,7 @@ scored AS (
   SELECT doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_tokens,
          CAST(SUM(CAST(ROUND(-log2(cnt / CAST(total AS DOUBLE)), 8)
-                       AS DECIMAL(24,10))) / COUNT(*) AS DOUBLE)
+                       AS DECIMAL(24,10))) AS DOUBLE) / COUNT(*)
            AS mean_surprisal_raw
   FROM toks JOIN tf USING (tok), total
   GROUP BY doc_id

@@ -682,23 +682,16 @@ def _head_vectors(spark, sf_dir, k: int) -> np.ndarray:
     artifact (a trained codebook ships to executors the same way), but
     building a query should not re-scan embeddings on every builder
     invocation (plan audits, bench warmups, repeated contract runs)."""
-    import os  # noqa: PLC0415
+    from .memo import memo_lookup, source_mtime  # noqa: PLC0415
 
-    app = spark.sparkContext.applicationId
-    try:
-        mtime = os.path.getmtime(f"{sf_dir}/embeddings.parquet")
-    except OSError:
-        mtime = -1.0
     # mtime in the key: a rewritten fixture under the same path must
-    # not serve a stale codebook (r3 ADVICE); stale twins are evicted
-    key = (app, sf_dir, k, mtime)
-    for old in [
-        old
-        for old in _HEAD_VEC_CACHE
-        if old[0] != app or (old[1] == sf_dir and old[2] == k and old != key)
-    ]:
-        del _HEAD_VEC_CACHE[old]
-    got = _HEAD_VEC_CACHE.get(key)
+    # not serve a stale codebook (r3 ADVICE; policy in memo.memo_lookup)
+    key, got = memo_lookup(
+        _HEAD_VEC_CACHE,
+        spark.sparkContext.applicationId,
+        (sf_dir, k),
+        source_mtime(f"{sf_dir}/embeddings.parquet"),
+    )
     if got is None:
         rows = sorted(
             _emb(spark, sf_dir)
@@ -1012,11 +1005,10 @@ def _pq_encoded(emb, cb: np.ndarray):
     return emb.mapInPandas(kernel, schema=schema)
 
 
-def _pq_adc_topk(spark, emb, cb: np.ndarray, query_rows):
-    """ADC scoring: per-query (M x KSUB) distance tables (dimension-
-    sized, broadcast) + M lookups per encoded target; exact window
-    top-k on the rounded sums."""
-    enc = _pq_encoded(emb, cb)
+def _adc_tables(spark, query_rows, cb: np.ndarray):
+    """Per-query (M x KSUB) ADC distance tables as a broadcast-sized
+    DataFrame — the ONE place the rounding/tie rules live (both PQ
+    paths share it, so they can never silently diverge)."""
     qrows = sorted(query_rows, key=lambda r: r["vec_id"])
     qv = np.array([r["vec"] for r in qrows], dtype=np.float64).reshape(
         len(qrows), PQ_M, PQ_SUBDIM
@@ -1032,9 +1024,26 @@ def _pq_adc_topk(spark, emb, cb: np.ndarray, query_rows):
         for m in range(PQ_M)
         for c in range(PQ_KSUB)
     ]
-    dt = spark.createDataFrame(
+    return spark.createDataFrame(
         dt_rows, schema="query_id long, m int, code int, d2 double"
     )
+
+
+def _topk_by_dist(scored):
+    """Shared final ranking: ascending ADC distance, neighbor_id ties."""
+    w = W.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+    )
+
+
+def _pq_adc_topk(spark, emb, cb: np.ndarray, query_rows):
+    """ADC scoring: per-query (M x KSUB) distance tables (dimension-
+    sized, broadcast) + M lookups per encoded target; exact window
+    top-k on the rounded sums."""
+    enc = _pq_encoded(emb, cb)
+    dt = _adc_tables(spark, query_rows, cb)
     exploded = enc.select(
         F.col("vec_id").alias("neighbor_id"),
         F.posexplode(F.array(*[F.col(f"code_{m}") for m in range(PQ_M)])).alias(
@@ -1047,11 +1056,7 @@ def _pq_adc_topk(spark, emb, cb: np.ndarray, query_rows):
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("d2"), 6).alias("approx_dist"))
     )
-    w = W.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-    )
+    return _topk_by_dist(scored)
 
 
 def ann_pq_topk(spark, sf_dir):
@@ -1081,23 +1086,7 @@ def ann_ivf_pq_topk(spark, sf_dir, nprobe: int = 1):
         ).collect(),
         key=lambda r: r["vec_id"],
     )
-    qv = np.array([r["vec"] for r in qrows], dtype=np.float64).reshape(
-        len(qrows), PQ_M, PQ_SUBDIM
-    )
-    dt_rows = [
-        (
-            int(qrows[qi]["vec_id"]),
-            m,
-            c,
-            float(_round_half_away(((qv[qi, m] - cb[c, m]) ** 2).sum(), 6)),
-        )
-        for qi in range(len(qrows))
-        for m in range(PQ_M)
-        for c in range(PQ_KSUB)
-    ]
-    dt = spark.createDataFrame(
-        dt_rows, schema="query_id long, m int, code int, d2 double"
-    )
+    dt = _adc_tables(spark, qrows, cb)
     q_probe = spark.createDataFrame(
         [
             (int(r["vec_id"]), int(r[c]))
@@ -1123,11 +1112,7 @@ def ann_ivf_pq_topk(spark, sf_dir, nprobe: int = 1):
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("d2"), 6).alias("approx_dist"))
     )
-    w = W.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-    )
+    return _topk_by_dist(scored)
 
 
 def ann_pq_planted_recall(spark, sf_dir):

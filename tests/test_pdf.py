@@ -123,6 +123,38 @@ def test_cid_tounicode_roundtrips_cjk_and_nonbmp():
     assert [b.text for b in blocks] == ["Title X", exotic]
 
 
+def test_unmapped_surrogate_cids_never_emit_lone_surrogates():
+    # Identity-H without ToUnicode: codes in 0xD800-0xDFFF must decode
+    # to U+FFFD, not lone surrogates (which crash Arrow serialization
+    # OUTSIDE the per-doc quarantine wrapper -> task failure)
+    from doclayout_yolo_spark.pdf import _Font
+
+    f = _Font(cmap={}, code_bytes=2)
+    out = f.decode(b"\xd8\x00\x00\x41\xdf\xff")
+    assert out == "�A�"
+    out.encode("utf-8")  # must be serializable
+
+
+def test_bfrange_expansion_is_capped_and_overflow_safe():
+    from doclayout_yolo_spark.pdf import _parse_tounicode
+
+    # adversarial full-plane range must not loop 4e9 times
+    cmap, _ = _parse_tounicode(
+        b"1 beginbfrange <00000000> <ffffffff> <0041> endbfrange\n"
+    )
+    # capped to one 16-bit plane (and further trimmed where the 2-byte
+    # destination 0x41+off would itself overflow)
+    assert len(cmap) == 0x10000 - 0x41
+    assert cmap[0] == "A"
+    # destination overflowing its width stops the range, keeps the rest
+    cmap2, _ = _parse_tounicode(
+        b"1 beginbfrange <00f0> <0100> <fff0> endbfrange\n"
+        b"1 beginbfchar <01> <0042> endbfchar\n"
+    )
+    assert cmap2[0x01] == "B"
+    assert 0x100 not in cmap2  # would have needed dst 0x10000 in 2 bytes
+
+
 def test_tounicode_bfrange_array_form_and_width():
     from doclayout_yolo_spark.pdf import _parse_tounicode
 

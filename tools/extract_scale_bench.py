@@ -98,9 +98,14 @@ def main() -> None:
         print(f"rep {rep}: {json.dumps(rep_out)}")
 
     retentions = [r["throughput_retention_10x"] for r in reps]
-    median_rep = sorted(
-        reps, key=lambda r: r["throughput_retention_10x"]
-    )[len(reps) // 2]
+    # the rep CLOSEST to the statistical median: with an even rep
+    # count, picking sorted[n//2] would select the upper-middle rep
+    # and contradict the headline median
+    median_val = statistics.median(retentions)
+    median_rep = min(
+        reps,
+        key=lambda r: abs(r["throughput_retention_10x"] - median_val),
+    )
     out = {
         "cpus": CPUS,
         "n_base_pages": N_BASE,
