@@ -1895,6 +1895,145 @@ FROM scored
 """
 
 
+# --- exact-substring duplication fraction ------------------------------------
+#
+# The Lee-et-al.-style exact substring signal (the dedup family next
+# to hash/MinHash/SimHash): any W-token gram occurring more than once
+# in the corpus marks its W token positions as duplicated; per doc,
+# report the fraction of token positions covered by duplicated grams.
+# (Full suffix-array dedup TRIMS those spans; the coverage fraction is
+# the score corpora gate on.)  Scale shape: one gram explode (xW
+# constant amplification), one gram-keyed counting aggregation
+# (partial-agg collapses hot boilerplate grams map-side), positions
+# re-derived by a W-row range join — never a suffix array in driver
+# memory.
+
+SUBSTR_W = 8
+
+
+def exact_substring_dup_fraction(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.expr(_toks_spark("text")).alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(w) - {SUBSTR_W}, -1)),"
+                f" i -> md5(concat_ws(' ', slice(w, i + 1, {SUBSTR_W}))))"
+            )
+        ).alias("p", "g"),
+    )
+    dup_g = grams.groupBy("g").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    covered = (
+        grams.join(dup_g.select("g"), "g")
+        .select("doc_id", F.explode(F.expr(f"sequence(p, p + {SUBSTR_W} - 1)")).alias("tp"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_tokens"))
+    )
+    per_doc = toks.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    return (
+        per_doc.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias(
+                "n_dup_tokens"
+            ),
+            F.round(
+                F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+EXACT_SUBSTRING_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_DUCK_TEXT} AS w FROM documents),
+grams AS (
+  SELECT doc_id, u.i AS p, md5(array_to_string(w[u.i + 1 : u.i + {SUBSTR_W}], ' ')) AS g
+  FROM toks, UNNEST([i FOR i IN range(0, GREATEST(LENGTH(w) - {SUBSTR_W}, -1) + 1)]) u(i)
+),
+dup_g AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+covered AS (
+  SELECT doc_id, COUNT(*) AS n_dup_tokens FROM (
+    SELECT DISTINCT gr.doc_id, gr.p + r.off AS tp
+    FROM grams gr JOIN dup_g USING (g), range({SUBSTR_W}) r(off)
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(LENGTH(t.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       ROUND(COALESCE(c.n_dup_tokens, 0) / CAST(LENGTH(t.w) AS DOUBLE), 6)
+         AS dup_fraction
+FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id
+"""
+
+
+# --- model-based quality filter (frozen logistic regression) -----------------
+#
+# The FineWeb/CCNet-style model-based gate: a tiny linear classifier
+# over cheap text features, with FROZEN weights (a trained classifier
+# ships to executors exactly like this — constants in the plan, fully
+# JVM-side, no UDF).  Features and the z = w·x + b sum are written in
+# the same fixed order in both engines; z is rounded before the
+# sigmoid and the score after, so libm exp() ulp drift can't flip the
+# hash.  Output includes the keep decision at the 0.5 threshold.
+
+_LOGREG_W = (0.35, 2.0, -3.0, -0.12)  # log1p(words), stop_ratio, digit_ratio, mean_wlen
+_LOGREG_B = -1.0
+
+
+def quality_logreg_score(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n_words = F.size(F.split(F.col("text"), " ")).cast("double")
+    stop_hits = sum(
+        (_occ_spark(w) for w in ("and", "of", "to")), _occ_spark("the")
+    ).cast("double")
+    digit_ratio = F.length(
+        F.regexp_replace(F.col("text"), "[^0-9]", "")
+    ) / F.length("text").cast("double")
+    mean_wlen = (
+        F.length(F.regexp_replace(F.col("text"), " ", "")) / n_words
+    )
+    z = F.round(
+        F.lit(_LOGREG_W[0]) * F.log1p(n_words)
+        + F.lit(_LOGREG_W[1]) * (stop_hits / n_words)
+        + F.lit(_LOGREG_W[2]) * digit_ratio
+        + F.lit(_LOGREG_W[3]) * mean_wlen
+        + F.lit(_LOGREG_B),
+        8,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return d.select(
+        "doc_id",
+        z.alias("z"),
+        score.alias("score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+QUALITY_LOGREG_SQL = f"""
+SELECT doc_id,
+       z,
+       ROUND(1.0 / (1.0 + exp(-z)), 6) AS score,
+       ROUND(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+FROM (
+  SELECT doc_id,
+         ROUND({_LOGREG_W[0]} * ln(1 + LENGTH(string_split(text, ' ')))
+             + {_LOGREG_W[1]} * (({_lang_score_duck("en")} + {_occ_duck("to")})
+                 / CAST(LENGTH(string_split(text, ' ')) AS DOUBLE))
+             + {_LOGREG_W[2]} * (LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / CAST(LENGTH(text) AS DOUBLE))
+             + {_LOGREG_W[3]} * (LENGTH(replace(text, ' ', ''))
+                 / CAST(LENGTH(string_split(text, ' ')) AS DOUBLE))
+             + {_LOGREG_B}, 8) AS z
+  FROM documents
+)
+"""
+
+
 # --- per-domain token budget -------------------------------------------------
 #
 # The anti-domination sampler every web corpus applies (no single
@@ -2064,6 +2203,11 @@ TEXT_QUERIES = {
     "lang_id_v2": (lang_id_v2, LANG_ID_V2_SQL),
     "unigram_surprisal": (unigram_surprisal, UNIGRAM_SURPRISAL_SQL),
     "domain_token_budget": (domain_token_budget, DOMAIN_BUDGET_SQL),
+    "exact_substring_dup_fraction": (
+        exact_substring_dup_fraction,
+        EXACT_SUBSTRING_SQL,
+    ),
+    "quality_logreg_score": (quality_logreg_score, QUALITY_LOGREG_SQL),
     "tokenize_mixed_script": (tokenize_mixed_script, TOKENIZE_MIXED_SQL),
     "lang_id_cjk": (lang_id_cjk, LANG_ID_CJK_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
