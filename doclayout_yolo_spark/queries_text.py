@@ -1914,12 +1914,17 @@ SUBSTR_W = 8
 def exact_substring_dup_fraction(spark, sf_dir):
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.expr(_toks_spark("text")).alias("w"))
+    # docs shorter than W tokens emit NO grams: Spark's sequence(0, -1)
+    # is DESCENDING (never empty), so the short-doc case needs an
+    # explicit branch — caught by the randomized-corpus gate
     grams = toks.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, greatest(size(w) - {SUBSTR_W}, -1)),"
+                f"CASE WHEN size(w) >= {SUBSTR_W} THEN"
+                f" transform(sequence(0, size(w) - {SUBSTR_W}),"
                 f" i -> md5(concat_ws(' ', slice(w, i + 1, {SUBSTR_W}))))"
+                f" ELSE cast(array() as array<string>) END"
             )
         ).alias("p", "g"),
     )

@@ -333,5 +333,11 @@ def test_randomized_differential_text_family(spark, tmp_path_factory):
             "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
             "simhash", "doc_rolling_fingerprint", "tfidf_top_terms",
             "token_count", "repetition_ratio",
+            # round-4 additions: LM surprisal (log2 + decimal-mean
+            # parity), substring coverage, budget window, logreg gate,
+            # 8-script language ID — none may depend on fixture shape
+            "unigram_surprisal", "exact_substring_dup_fraction",
+            "domain_token_budget", "quality_logreg_score", "lang_id_v2",
+            "lsh_bucket_cap_audit",
         ],
     )
