@@ -1844,7 +1844,10 @@ def unigram_surprisal(spark, sf_dir):
         "doc_id", F.explode(F.expr(_toks_spark("text"))).alias("tok")
     )
     tf = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = toks.agg(F.count("*").alias("total"))
+    # total DERIVED from tf (sum of counts) — not a third
+    # scan->explode->count subtree over the corpus (the tfidf
+    # derive-don't-recompute lesson from round 3)
+    total = tf.agg(F.sum("cnt").alias("total"))
     surp = F.round(
         -F.log2(F.col("cnt") / F.col("total").cast("double")), 8
     )

@@ -305,3 +305,18 @@ def test_curation_v3_single_extraction_bounded_plan(spark):
     assert "Scan ExistingRDD" in plan              # checkpointed labels
     assert plan.count("FileScan parquet") <= 6
     assert plan.count("\n") < 300                  # bounded, not exponential
+
+
+def test_round4_text_queries_bounded_scans(spark):
+    # unigram_surprisal and exact_substring_dup_fraction must stay at
+    # <=3 column-pruned scans (the tfidf derive-don't-recompute bound)
+    # and never broadcast a corpus-sized side
+    from doclayout_yolo_spark.queries_text import (
+        exact_substring_dup_fraction,
+        unigram_surprisal,
+    )
+
+    for fn in (unigram_surprisal, exact_substring_dup_fraction):
+        plan = plan_of(fn(spark, SF_DIR), "simple")
+        assert plan.count("FileScan parquet") <= 3
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
