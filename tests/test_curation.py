@@ -202,6 +202,9 @@ def test_curation_queries_tolerate_empty_corpus(spark, tmp_path_factory):
         "ann_lsh_bucketed", "dedup_embedding_cosine",
         "simhash64_hamming_pairs", "decontaminate_against_eval",
         "dup_sentence_fraction", "lsh_bucket_cap_audit",
+        "unigram_surprisal", "exact_substring_dup_fraction",
+        "domain_token_budget", "quality_logreg_score", "lang_id_v2",
+        "corpus_curation_v3",
     ]
     todo = list(CURATION_QUERIES.items()) + [
         (n, ALL_QUERIES[n]) for n in text_vector_names
