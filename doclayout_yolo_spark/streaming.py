@@ -146,14 +146,17 @@ def watermarked_url_dedup(
 
 def stateful_host_counter(
     pages_stream: DataFrame,
-    timeout_s: int = 3600,
+    timeout_s: int | None = None,
 ):
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     running per-host page/byte counters that survive across
     micro-batches (crawl-politeness bookkeeping — the kind of custom
     state the reference's generator loop keeps in process memory,
-    re-expressed as Spark-managed keyed state with a processing-time
-    timeout)."""
+    re-expressed as Spark-managed keyed state).  ``timeout_s`` opts in
+    to processing-time eviction for continuous triggers; the default is
+    NO timeout because a query with registered timeouts never finishes
+    under ``availableNow`` (Spark schedules empty micro-batches forever
+    to service future expiries — measured, see stateful_band_neardup)."""
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
         GroupState,
         GroupStateTimeout,
@@ -174,7 +177,8 @@ def stateful_host_counter(
             n += len(pdf)
             b += int(pdf["html_bytes"].sum())
         state.update((n, b))
-        state.setTimeoutDuration(timeout_s * 1000)
+        if timeout_s is not None:
+            state.setTimeoutDuration(timeout_s * 1000)
         yield pd.DataFrame({"host": [host], "n_pages": [n], "total_bytes": [b]})
 
     hosts = pages_stream.select(
@@ -186,15 +190,21 @@ def stateful_host_counter(
         outputStructType="host string, n_pages long, total_bytes long",
         stateStructType="n long, b long",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_s is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
-def stateful_url_dedup(pages_stream: DataFrame, timeout_s: int = 24 * 3600):
+def stateful_url_dedup(pages_stream: DataFrame, timeout_s: int | None = None):
     """Streaming exact dedup: emit only the FIRST occurrence of each
     url across micro-batches (Spark-managed keyed state; the crawl
     re-fetch suppressor).  State is one flag per url with a
-    processing-time timeout so the state store is bounded by the
+    processing-time timeout (opt-in via ``timeout_s`` on continuous
+    triggers; default NoTimeout so ``availableNow`` runs terminate —
+    see stateful_band_neardup) bounding the state store by the
     re-crawl horizon, not the corpus.  At 10^12 urls the same shape
     shards state across executors by the url hash."""
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
@@ -224,7 +234,8 @@ def stateful_url_dedup(pages_stream: DataFrame, timeout_s: int = 24 * 3600):
             first_bytes = 0
         emit = n_dups == -1  # never seen before this batch
         state.update((max(n_dups, 0) + n_new,))
-        state.setTimeoutDuration(timeout_s * 1000)
+        if timeout_s is not None:
+            state.setTimeoutDuration(timeout_s * 1000)
         if emit:
             yield pd.DataFrame(
                 {"url": [url], "html_bytes": [first_bytes]}
@@ -240,7 +251,111 @@ def stateful_url_dedup(pages_stream: DataFrame, timeout_s: int = 24 * 3600):
         outputStructType="url string, html_bytes long",
         stateStructType="n_seen long",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_s is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def stateful_band_neardup(
+    docs_stream: DataFrame,
+    bucket_cap: int = 64,
+    timeout_s: int | None = None,
+):
+    """STREAMING MinHash-LSH near-dup candidates: the online rendering
+    of the batch ``dedup_minhash_lsh`` pipeline.
+
+    Per arriving doc the full signature is computed ROW-LOCAL (shingle
+    array -> per-seed array_min, all JVM expressions — no shuffle, no
+    aggregation), then band rows shuffle once to Spark-managed keyed
+    state per (band, h1, h2) bucket.  Each bucket's state holds the
+    first ``bucket_cap`` doc_ids seen (the streaming twin of the batch
+    BUCKET_CAP fence); a new arrival emits one candidate pair per
+    stored member and joins the state if below cap — so emitted work
+    per doc is bounded by cap x bands, never by cluster size.  With
+    ``timeout_s`` set, state expires on a processing-time timeout (the
+    re-crawl horizon) so the store is bounded by buckets active inside
+    the horizon; the DEFAULT is no timeout, because a query with
+    registered timeouts never finishes under ``availableNow`` — Spark
+    keeps scheduling empty micro-batches to service future expiries
+    (measured: hundreds of 0-row batches) — so bounded backfill runs
+    must opt in explicitly on a continuous trigger.
+
+    Same tokenizer / hash / band constants as the batch query: on the
+    same corpus the pair SET (normalized a<b, distinct) equals the
+    batch output whenever buckets stay under the cap — asserted by
+    tests/test_streaming.py, not assumed."""
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from .queries_text import N_BANDS, N_HASHES, _toks_spark  # noqa: PLC0415
+
+    sh = (
+        "CASE WHEN size(w) >= 3 THEN array_distinct(transform("
+        "sequence(0, size(w) - 3),"
+        " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+        " ELSE cast(array() as array<string>) END"
+    )
+    stack_args = ", ".join(
+        f"{band}, m{2 * band}, m{2 * band + 1}" for band in range(N_BANDS)
+    )
+    bands = (
+        docs_stream.selectExpr("doc_id", f"{_toks_spark('text')} AS w")
+        .selectExpr("doc_id", f"{sh} AS sh")
+        .filter(F.size("sh") > 0)
+        .selectExpr(
+            "doc_id",
+            *[
+                f"array_min(transform(sh, x ->"
+                f" cast(conv(substring(md5(concat('{s}:', x)), 1, 15), 16, 10)"
+                f" as bigint))) AS m{s}"
+                for s in range(N_HASHES)
+            ],
+        )
+        .selectExpr(
+            "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band, h1, h2)"
+        )
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd  # noqa: PLC0415
+
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"doc_a": [], "doc_b": []})
+            return
+        members: list[int] = list(state.get[0]) if state.exists else []
+        out_a, out_b = [], []
+        for pdf in pdfs:
+            # arrival order within a batch is nondeterministic: process
+            # doc_id-ascending so pair emission is run-stable
+            for doc in sorted(int(x) for x in set(pdf["doc_id"])):
+                if doc in members:
+                    continue
+                for m in members:
+                    out_a.append(min(m, doc))
+                    out_b.append(max(m, doc))
+                if len(members) < bucket_cap:
+                    members.append(doc)
+        state.update((members,))
+        if timeout_s is not None:
+            state.setTimeoutDuration(timeout_s * 1000)
+        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    return bands.groupBy("band", "h1", "h2").applyInPandasWithState(
+        update,
+        outputStructType="doc_a long, doc_b long",
+        stateStructType="ds array<long>",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_s is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -97,6 +97,57 @@ def test_rate_source_stream_equals_batch(spark, tmp_path_factory):
         assert want[url] == text
 
 
+def test_stateful_band_neardup_equals_batch_lsh(spark, tmp_path_factory):
+    # streaming LSH candidates must equal the batch dedup_minhash_lsh
+    # pair set on the same corpus (same tokenizer/hashes/bands; buckets
+    # under the cap) — across MULTIPLE micro-batches, so keyed state
+    # genuinely carries bucket membership between batches
+    from doclayout_yolo_spark.queries_text import dedup_minhash_lsh
+    from doclayout_yolo_spark.streaming import stateful_band_neardup
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = tmp_path_factory.mktemp("banddup")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    sub_dir = str(base / "sub")
+    # a 150-doc subset keeps the state-store key count (docs x bands
+    # buckets, each a per-key Python state call) test-sized; the batch
+    # reference runs on the SAME subset table
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 150")
+        .select("doc_id", "text")
+    )
+    docs.write.parquet(f"{sub_dir}/documents.parquet")
+    # two files -> two micro-batches: enough to prove state carries
+    # bucket membership across batches
+    docs.repartition(2).write.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stateful_band_neardup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, sub_dir).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # non-vacuous: the fixture has near-dups
+
+
 def test_stream_static_enrichment_join(spark, tmp_path_factory):
     from doclayout_yolo_spark.streaming import enriched_pages_stream, read_pages_stream
 
