@@ -268,6 +268,95 @@ def url_canonicalize(spark, sf_dir):
     )
 
 
+# --- crawl URL policy filter (robots/blocklist semantics) --------------------
+#
+# The frontier-policy op a crawl pipeline runs before fetch/ingest:
+# per-host path-prefix rules (deny a host, deny a section, allow a
+# deeper exception, plus '*' wildcard-host rules), LONGEST matching
+# prefix wins, host-specific beats wildcard on ties, default allow.
+# The rule table is dimension-sized -> broadcast; one window per url
+# picks the winning rule.  urls are synthesized per doc in-query
+# (the documents table carries none), same expression both engines.
+
+_POLICY_RULES = [
+    ("host0.example.com", "/", "deny"),
+    ("host1.example.com", "/sec3", "deny"),
+    ("host1.example.com", "/sec3/page/1", "allow"),
+    ("*", "/sec6", "deny"),
+]
+
+
+def url_policy_filter(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    host = F.concat(
+        F.lit("host"), F.pmod("doc_id", F.lit(5)).cast("string"),
+        F.lit(".example.com"),
+    )
+    path = F.concat(
+        F.lit("/sec"), F.pmod("doc_id", F.lit(7)).cast("string"),
+        F.lit("/page/"), F.col("doc_id").cast("string"),
+    )
+    urls = d.select("doc_id", host.alias("host"), path.alias("path"))
+    rules = spark.createDataFrame(
+        _POLICY_RULES, schema="r_host string, prefix string, action string"
+    )
+    matched = urls.join(
+        F.broadcast(rules),
+        ((F.col("r_host") == F.col("host")) | (F.col("r_host") == "*"))
+        & F.col("path").startswith(F.col("prefix")),
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.length("prefix").desc(),
+        (F.col("r_host") == "*").asc(),  # host-specific beats wildcard
+        F.col("action").asc(),
+    )
+    decided = (
+        matched.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "action", "prefix")
+    )
+    return (
+        urls.join(decided, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat(F.lit("https://"), F.col("host"), F.col("path")).alias("url"),
+            F.coalesce(F.col("action"), F.lit("allow")).alias("action"),
+            F.coalesce(F.col("prefix"), F.lit("")).alias("matched_prefix"),
+        )
+    )
+
+
+_POLICY_VALUES = ", ".join(
+    f"('{h}', '{p}', '{a}')" for h, p, a in _POLICY_RULES
+)
+
+URL_POLICY_SQL = f"""
+WITH u AS (
+  SELECT doc_id,
+         'host' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host,
+         '/sec' || CAST(doc_id % 7 AS VARCHAR) || '/page/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+),
+rules(r_host, prefix, action) AS (VALUES {_POLICY_VALUES}),
+matched AS (
+  SELECT u.doc_id, r.action, r.prefix,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY LENGTH(r.prefix) DESC, (r.r_host = '*') ASC, r.action ASC
+         ) AS rk
+  FROM u JOIN rules r
+    ON (r.r_host = u.host OR r.r_host = '*')
+   AND starts_with(u.path, r.prefix)
+)
+SELECT u.doc_id,
+       'https://' || u.host || u.path AS url,
+       COALESCE(m.action, 'allow') AS action,
+       COALESCE(m.prefix, '') AS matched_prefix
+FROM u LEFT JOIN (SELECT * FROM matched WHERE rk = 1) m
+  ON u.doc_id = m.doc_id
+"""
+
+
 URL_CANON_SQL = """
 WITH m AS (
   SELECT doc_id,
@@ -1299,6 +1388,7 @@ CURATION_QUERIES = {
     "dedup_paragraphs": (dedup_paragraphs, DEDUP_PARAGRAPHS_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "url_canonicalize": (url_canonicalize, URL_CANON_SQL),
+    "url_policy_filter": (url_policy_filter, URL_POLICY_SQL),
     "link_graph_pagerank": (link_graph_pagerank, PAGERANK_SQL),
     "link_graph_triangles": (link_graph_triangles, TRIANGLES_SQL),
     "nfc_normalize": (nfc_normalize, NFC_SQL),
