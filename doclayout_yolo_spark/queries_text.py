@@ -2042,6 +2042,73 @@ FROM (
 """
 
 
+# --- overlapping passage chunking --------------------------------------------
+#
+# The chunker every retrieval/training pipeline runs before embedding:
+# fixed-size token windows with stride < size (overlap keeps context
+# across cut points).  Zero shuffle — chunk boundaries are a per-row
+# ``transform(sequence(...))`` over the token array, exploded; at
+# 100 TB this is a map-only pass like token counting.  The last chunk
+# is the final tail window (standard: starts at the last stride
+# boundary before the end, may overlap more).
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_passages(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    starts = (
+        f"CASE WHEN size(w) <= {CHUNK_SIZE} THEN array(0)"
+        f" ELSE transform("
+        f"sequence(0, cast(ceil((size(w) - {CHUNK_SIZE})"
+        f" / cast({CHUNK_STRIDE} as double)) as int)),"
+        f" i -> least(i * {CHUNK_STRIDE}, size(w) - {CHUNK_SIZE})) END"
+    )
+    return (
+        toks.select(
+            "doc_id", "w", F.posexplode(F.expr(starts)).alias("chunk_id", "tok_start")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("tok_start").cast("long").alias("tok_start"),
+            F.least(
+                F.col("tok_start") + CHUNK_SIZE, F.size("w")
+            ).cast("long").alias("tok_end"),
+            F.expr(
+                f"concat_ws(' ', slice(w, tok_start + 1,"
+                f" least({CHUNK_SIZE}, size(w) - tok_start)))"
+            ).alias("chunk_text"),
+        )
+    )
+
+
+CHUNK_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+starts AS (
+  SELECT doc_id, w, u.i AS chunk_id,
+         CASE WHEN LENGTH(w) <= {CHUNK_SIZE} THEN 0
+              ELSE LEAST(u.i * {CHUNK_STRIDE}, LENGTH(w) - {CHUNK_SIZE}) END
+           AS tok_start
+  FROM toks, UNNEST([i FOR i IN range(0,
+    CASE WHEN LENGTH(w) <= {CHUNK_SIZE} THEN 1
+         ELSE CAST(CEIL((LENGTH(w) - {CHUNK_SIZE})
+                        / CAST({CHUNK_STRIDE} AS DOUBLE)) AS INT) + 1 END
+  )]) u(i)
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(LEAST(tok_start + {CHUNK_SIZE}, LENGTH(w)) AS BIGINT) AS tok_end,
+       array_to_string(
+         w[tok_start + 1 : tok_start + LEAST({CHUNK_SIZE}, LENGTH(w) - tok_start)],
+         ' ') AS chunk_text
+FROM starts
+"""
+
+
 # --- per-domain token budget -------------------------------------------------
 #
 # The anti-domination sampler every web corpus applies (no single
@@ -2216,6 +2283,7 @@ TEXT_QUERIES = {
         EXACT_SUBSTRING_SQL,
     ),
     "quality_logreg_score": (quality_logreg_score, QUALITY_LOGREG_SQL),
+    "chunk_passages": (chunk_passages, CHUNK_SQL),
     "tokenize_mixed_script": (tokenize_mixed_script, TOKENIZE_MIXED_SQL),
     "lang_id_cjk": (lang_id_cjk, LANG_ID_CJK_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),

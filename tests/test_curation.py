@@ -341,6 +341,6 @@ def test_randomized_differential_text_family(spark, tmp_path_factory):
             # 8-script language ID — none may depend on fixture shape
             "unigram_surprisal", "exact_substring_dup_fraction",
             "domain_token_budget", "quality_logreg_score", "lang_id_v2",
-            "lsh_bucket_cap_audit",
+            "lsh_bucket_cap_audit", "chunk_passages", "url_policy_filter",
         ],
     )
