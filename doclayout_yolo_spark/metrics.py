@@ -318,15 +318,33 @@ def ap_per_class(matches: DataFrame, gt_counts: dict[int, int]) -> DataFrame:
     )
     app = matches.sparkSession.sparkContext.applicationId
     # drop dead-app handles outright; unpersist the oldest live ones
-    # beyond the LRU bound
+    # beyond the LRU bound.  CRITICAL: both persist() and unpersist()
+    # key the cache by STRUCTURAL plan match, so (a) a handle whose
+    # plan sameResult-matches a retained one must never be appended
+    # twice — evicting the old twin later would uncache the live entry
+    # out from under the new handle — and (b) identical repeated calls
+    # therefore keep ONE handle and the list never fills from them.
     live = [(a, p) for a, p in _AP_PERSISTED if a == app]
-    while len(live) >= _AP_KEEP:
-        _old_app, old_ap = live.pop(0)
+
+    def _same(a, b):
         try:
-            old_ap.unpersist(blocking=False)
+            return (
+                a._jdf.queryExecution().analyzed()
+                .sameResult(b._jdf.queryExecution().analyzed())
+            )
         except Exception:
-            pass
-    _AP_PERSISTED[:] = live + [(app, ap)]
+            return False
+
+    if any(_same(p, ap) for _a, p in live):
+        _AP_PERSISTED[:] = live  # cache hit: existing handle covers it
+    else:
+        while len(live) >= _AP_KEEP:
+            _old_app, old_ap = live.pop(0)
+            try:
+                old_ap.unpersist(blocking=False)
+            except Exception:
+                pass
+        _AP_PERSISTED[:] = live + [(app, ap)]
     # gt classes with zero detections never reach the kernel: union ap=0
     # rows for them (anti-join against the tiny cached ap output keeps
     # this distributed and avoids re-deriving classes from matches)

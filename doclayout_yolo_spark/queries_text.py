@@ -327,13 +327,20 @@ def _shingles(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.expr(_toks_spark("text")).alias("w"))
+    # short-doc guard: Spark's sequence(0, size-3) is DESCENDING (never
+    # empty) when size < 3, so w[i+2] crashes under ANSI on a 1-2-token
+    # doc — one short page would kill the whole dedup family on a real
+    # corpus.  The DuckDB oracle's RANGE() is empty for short docs, so
+    # the guard also IS the parity fix (r4 second self-review).
     built = (
         toks.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(w) - 3),"
+                    "CASE WHEN size(w) >= 3 THEN"
+                    " transform(sequence(0, size(w) - 3),"
                     " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                    " ELSE cast(array() as array<string>) END"
                 )
             ).alias("sh"),
         )
@@ -1913,14 +1920,32 @@ FROM scored
 
 SUBSTR_W = 8
 
+_GRAM_CACHE: dict = {}
 
-def exact_substring_dup_fraction(spark, sf_dir):
+
+def _substr_grams(spark, sf_dir):
+    """(doc_id, p, g) W-gram rows, PERSISTED + memoized like _shingles:
+    the gram explode (xW amplification over the corpus) is the dominant
+    cost and has TWO consumers (the dup-gram count and the coverage
+    join) — without the cache it would execute twice per query."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    from .memo import memo_lookup, source_mtime  # noqa: PLC0415
+
+    key, cached = memo_lookup(
+        _GRAM_CACHE,
+        spark.sparkContext.applicationId,
+        sf_dir,
+        source_mtime(f"{sf_dir}/documents.parquet"),
+    )
+    if cached is not None:
+        return cached
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.expr(_toks_spark("text")).alias("w"))
     # docs shorter than W tokens emit NO grams: Spark's sequence(0, -1)
     # is DESCENDING (never empty), so the short-doc case needs an
     # explicit branch — caught by the randomized-corpus gate
-    grams = toks.select(
+    built = toks.select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -1930,7 +1955,15 @@ def exact_substring_dup_fraction(spark, sf_dir):
                 f" ELSE cast(array() as array<string>) END"
             )
         ).alias("p", "g"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _GRAM_CACHE[key] = built
+    return built
+
+
+def exact_substring_dup_fraction(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.expr(_toks_spark("text")).alias("w"))
+    grams = _substr_grams(spark, sf_dir)
     dup_g = grams.groupBy("g").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
     covered = (
         grams.join(dup_g.select("g"), "g")
@@ -2030,7 +2063,7 @@ SELECT doc_id,
 FROM (
   SELECT doc_id,
          ROUND({_LOGREG_W[0]} * ln(1 + LENGTH(string_split(text, ' ')))
-             + {_LOGREG_W[1]} * (({_lang_score_duck("en")} + {_occ_duck("to")})
+             + {_LOGREG_W[1]} * (({_STOPS_DUCK})
                  / CAST(LENGTH(string_split(text, ' ')) AS DOUBLE))
              + {_LOGREG_W[2]} * (LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))
                  / CAST(LENGTH(text) AS DOUBLE))

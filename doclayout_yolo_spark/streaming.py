@@ -261,7 +261,7 @@ def stateful_url_dedup(pages_stream: DataFrame, timeout_s: int | None = None):
 
 def stateful_band_neardup(
     docs_stream: DataFrame,
-    bucket_cap: int = 64,
+    bucket_cap: int | None = None,
     timeout_s: int | None = None,
 ):
     """STREAMING MinHash-LSH near-dup candidates: the online rendering
@@ -292,7 +292,15 @@ def stateful_band_neardup(
         GroupStateTimeout,
     )
 
-    from .queries_text import N_BANDS, N_HASHES, _toks_spark  # noqa: PLC0415
+    from .queries_text import (  # noqa: PLC0415
+        BUCKET_CAP,
+        N_BANDS,
+        N_HASHES,
+        _toks_spark,
+    )
+
+    if bucket_cap is None:
+        bucket_cap = BUCKET_CAP  # stay in lock-step with the batch cap
 
     sh = (
         "CASE WHEN size(w) >= 3 THEN array_distinct(transform("

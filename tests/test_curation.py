@@ -204,7 +204,7 @@ def test_curation_queries_tolerate_empty_corpus(spark, tmp_path_factory):
         "dup_sentence_fraction", "lsh_bucket_cap_audit",
         "unigram_surprisal", "exact_substring_dup_fraction",
         "domain_token_budget", "quality_logreg_score", "lang_id_v2",
-        "corpus_curation_v3",
+        "corpus_curation_v3", "chunk_passages", "url_policy_filter",
     ]
     todo = list(CURATION_QUERIES.items()) + [
         (n, ALL_QUERIES[n]) for n in text_vector_names
@@ -309,8 +309,11 @@ def test_randomized_differential_text_family(spark, tmp_path_factory):
     n = 80
     ids = np.sort(rng.choice(3000, size=n, replace=False)).astype(np.int64)
     vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    # min length 1: docs with fewer than 3 tokens once CRASHED the
+    # shingle family under ANSI (descending sequence -> w[i+2] OOB) and
+    # diverged from DuckDB's empty-range semantics — keep them forever
     texts = [
-        " ".join(rng.choice(vocab, size=rng.randint(3, 50)))
+        " ".join(rng.choice(vocab, size=rng.randint(1, 50)))
         for _ in range(n)
     ]
     # plant exact + near duplicates so the dedup paths light up
