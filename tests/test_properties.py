@@ -214,3 +214,28 @@ def test_pdf_multipage_scroll_roundtrip(page_texts, compress):
     for b, (k, t, y_top) in zip(blocks, expected):
         assert b.text == t
         assert abs(b.y1 - (k * 792.0 + y_top)) < 1e-6
+
+
+_fuzz_payload = st.one_of(
+    st.binary(min_size=0, max_size=600),
+    st.binary(min_size=0, max_size=300).map(lambda b: b"%PDF-1.4\n" + b),
+    st.text(max_size=400).map(lambda s: ("<html><body>" + s).encode("utf-8", "replace")),
+)
+
+
+@given(raw=_fuzz_payload)
+@settings(max_examples=400, deadline=None)
+def test_quarantine_wrapper_never_raises_on_fuzz(raw):
+    """Arbitrary bytes — random garbage, truncated PDFs with a valid
+    magic, and unterminated HTML — must flow through the per-document
+    quarantine wrapper without raising and without emitting
+    Arrow-unserializable text (lone surrogates): the partition-level
+    reality of a 10^12-document crawl where poisoned payloads are a
+    statistical certainty."""
+    from doclayout_yolo_spark.pipeline import _extract_one
+
+    text, regions, _meta, _err = _extract_one("https://fuzz.local/x", raw)
+    assert isinstance(text, str)
+    text.encode("utf-8")  # no lone surrogates -> Arrow-safe
+    for r in regions:
+        assert text[r.start : r.end] == r.text
