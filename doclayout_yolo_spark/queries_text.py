@@ -325,14 +325,24 @@ def _shingles(spark, sf_dir):
         return cached
     from pyspark import StorageLevel  # noqa: PLC0415
 
-    d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", F.expr(_toks_spark("text")).alias("w"))
-    # short-doc guard: Spark's sequence(0, size-3) is DESCENDING (never
-    # empty) when size < 3, so w[i+2] crashes under ANSI on a 1-2-token
-    # doc — one short page would kill the whole dedup family on a real
-    # corpus.  The DuckDB oracle's RANGE() is empty for short docs, so
-    # the guard also IS the parity fix (r4 second self-review).
-    built = (
+    built = _shingles_from(_docs(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _SHINGLE_CACHE[key] = built
+    return built
+
+
+def _shingles_from(docs_df):
+    """Distinct (doc_id, 3-gram) rows from any (doc_id, text) frame —
+    the DF-level core shared by the sf_dir-memoized builder and the
+    spark-submit jobs.  Short-doc guard: Spark's sequence(0, size-3)
+    is DESCENDING (never empty) when size < 3, so w[i+2] crashes under
+    ANSI on a 1-2-token doc — one short page would kill the whole
+    dedup family on a real corpus.  The DuckDB oracle's RANGE() is
+    empty for short docs, so the guard also IS the parity fix (r4
+    second self-review)."""
+    toks = docs_df.select("doc_id", F.expr(_toks_spark("text")).alias("w"))
+    return (
         toks.select(
             "doc_id",
             F.explode(
@@ -345,18 +355,14 @@ def _shingles(spark, sf_dir):
             ).alias("sh"),
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _SHINGLE_CACHE[key] = built
-    return built
 
 
-def _capped_shingles(spark, sf_dir):
+def _capped_from(sh):
     """Shingles minus the hot (df > MAX_SHINGLE_DF) ones.  The hot list
     is tiny BY CONSTRUCTION (at most n_shingle_rows / MAX_SHINGLE_DF
     entries, in practice a handful of boilerplate strings), so it
     broadcasts and the fence costs one map-side anti-join."""
-    sh = _shingles(spark, sf_dir)
     hot = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("df"))
@@ -364,6 +370,10 @@ def _capped_shingles(spark, sf_dir):
         .select("sh")
     )
     return sh.join(F.broadcast(hot), "sh", "left_anti")
+
+
+def _capped_shingles(spark, sf_dir):
+    return _capped_from(_shingles(spark, sf_dir))
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -447,11 +457,14 @@ BUCKET_CAP = 64
 
 
 def _minhash_bands(spark, sf_dir):
+    return _minhash_bands_from(_shingles(spark, sf_dir))
+
+
+def _minhash_bands_from(sh):
     """(doc_id, band, h1, h2) rows — ONE signature aggregation, then a
     narrow ``stack`` to band rows (no per-band union: the round-1 plan
     recomputed the scan->explode->agg signature subtree 8x, a real
     constant at 100 TB where the shingle explode dominates)."""
-    sh = _shingles(spark, sf_dir)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(_h64(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"m{s}")
@@ -481,7 +494,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     straggler reducer streams (sort-based window) instead of buffering
     the whole cluster; dropped docs are counted by
     ``lsh_bucket_cap_audit`` — no silent caps."""
-    bands = _minhash_bands(spark, sf_dir)
+    return _lsh_candidates_from(_minhash_bands(spark, sf_dir))
+
+
+def _lsh_candidates_from(bands):
     wcap = W.partitionBy("band", "h1", "h2").orderBy("doc_id")
     kept = (
         bands.withColumn("rk", F.row_number().over(wcap))
@@ -548,8 +564,12 @@ def dedup_jaccard_lsh(spark, sf_dir):
     scale: the shingle join is driven BY the candidate list (work is
     |candidates| x shingles-per-doc, not sum-of-df^2), so a corpus
     where LSH emits 10^-6 of all pairs does 10^-6 of the work."""
-    cand = dedup_minhash_lsh(spark, sf_dir)
-    sh = _capped_shingles(spark, sf_dir)
+    return _jaccard_verified_from(
+        dedup_minhash_lsh(spark, sf_dir), _capped_shingles(spark, sf_dir)
+    )
+
+
+def _jaccard_verified_from(cand, sh):
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("s"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("s"))
@@ -1524,7 +1544,17 @@ def dedup_clusters(spark, sf_dir):
     )
     if cached is not None:
         return cached.select("doc_id", "cluster_id")
-    pairs = dedup_jaccard_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _cluster_labels_from(
+        dedup_jaccard_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    _CLUSTER_CACHE[key] = labels
+    return labels.select("doc_id", "cluster_id")
+
+
+def _cluster_labels_from(pairs):
+    """(doc_id, cluster_id = component minimum) from an undirected pair
+    frame via iterative min-label propagation — the DF-level core of
+    ``dedup_clusters`` shared with the spark-submit curation job."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -1571,8 +1601,33 @@ def dedup_clusters(spark, sf_dir):
         if changed == 0:
             break
     edges.unpersist()
-    _CLUSTER_CACHE[key] = labels
-    return labels.select("doc_id", "cluster_id")
+    return labels
+
+
+def neardup_collapse_df(docs_df):
+    """Near-duplicate collapse over any (doc_id, text, ...) frame: the
+    full LSH lineage (shingles -> capped MinHash bands -> bucket-capped
+    candidates -> exact-Jaccard verify -> min-label clusters), keeping
+    only each component's minimum doc_id.  Returns the surviving rows
+    of ``docs_df`` unchanged — the composable job-level stage
+    (jobs/curate_job.py --neardup) matching the oracled
+    ``corpus_curation_v3`` semantics."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    sh = _shingles_from(docs_df.select("doc_id", "text")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = _lsh_candidates_from(_minhash_bands_from(sh))
+    pairs = _jaccard_verified_from(cand, _capped_from(sh)).select(
+        "doc_a", "doc_b"
+    )
+    labels = _cluster_labels_from(pairs)
+    losers = labels.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    out = docs_df.join(losers, "doc_id", "left_anti")
+    sh.unpersist(blocking=False)
+    return out
 
 
 # edges = the LSH-verified pair pipeline (same CTEs as JACCARD_LSH_SQL)

@@ -32,6 +32,13 @@ def main(stop_session: bool = True) -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--min-tokens", type=int, default=8)
     p.add_argument("--block", type=int, default=256, help="tokens per training block")
+    p.add_argument(
+        "--neardup",
+        action="store_true",
+        help="collapse MinHash/LSH near-duplicate docs (keep each"
+        " cluster's minimum doc_id) before paragraph dedup — the full"
+        " corpus_curation_v3 chain as a runnable job",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,6 +56,13 @@ def main(stop_session: bool = True) -> None:
         "doc_id", "text"
     )
     n_in = docs.count()
+
+    n_neardup_dropped = 0
+    if args.neardup:
+        from doclayout_yolo_spark.queries_text import neardup_collapse_df
+
+        docs = neardup_collapse_df(docs)
+        n_neardup_dropped = n_in - docs.count()
 
     dd = dedup_paragraphs_df(docs)
     kept = dd.filter(F.col("n_kept") > 0).select(
@@ -86,6 +100,7 @@ def main(stop_session: bool = True) -> None:
         json.dumps(
             {
                 "n_input_docs": n_in,
+                "n_neardup_dropped": n_neardup_dropped,
                 "n_output_docs": agg["n_docs"],
                 "total_tokens": int(agg["total_tokens"] or 0),
                 "n_blocks": int(agg["n_blocks"] or 0),

@@ -238,6 +238,45 @@ def test_curate_job_block_flag_changes_geometry(spark, tmp_path_factory, monkeyp
     )
 
 
+def test_curate_job_neardup_flag_drops_cluster_losers(
+    spark, tmp_path_factory, monkeypatch
+):
+    # --neardup runs the full v3-style chain as a job: near-dup cluster
+    # losers (same text modulo a copied prefix) never reach the output;
+    # the cluster-minimum representative survives
+    import curate_job
+
+    base = tmp_path_factory.mktemp("ndjob")
+    long_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    long_b = " ".join(f"zeta{i} eta{i} theta{i}" for i in range(12))
+    rows = [
+        (1, long_a), (2, long_a + " tail"),      # near-dups: keep 1
+        (5, long_b), (9, long_b),                 # exact dups: keep 5
+        (7, "completely different standalone document body " * 3),
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["s"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(f"{base}/documents.parquet")
+    out = str(base / "out")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["curate_job.py", "--input", str(base), "--output", out,
+         "--min-tokens", "4", "--neardup"],
+    )
+    curate_job.main(stop_session=False)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 5, 7}
+
+
 def test_zorder_layout_gives_two_dimensional_locality(spark):
     # writing range-partitioned by zvalue must confine any single
     # src_key (and any single len_key band) to a small set of the 32
