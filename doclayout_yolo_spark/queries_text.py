@@ -1563,10 +1563,21 @@ def _cluster_labels_from(pairs):
         .distinct()
     )
     edges.cache()
+    try:
+        return _propagate_min_labels(edges)
+    finally:
+        # release the edge cache even when an eager action inside the
+        # loop raises (executor OOM, malformed input) — a long-lived
+        # session must not pin failed-call artifacts
+        edges.unpersist(blocking=False)
+
+
+def _propagate_min_labels(edges):
     labels = (
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
+    changed = 0
     for _ in range(MAX_CC_ITERS):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -1600,34 +1611,77 @@ def _cluster_labels_from(pairs):
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
+    if changed != 0:
+        # a component with graph diameter > MAX_CC_ITERS is UNDER-
+        # collapsed (extra representatives survive).  Conservative —
+        # never drops a non-duplicate — but must not be silent.
+        import warnings  # noqa: PLC0415
+
+        warnings.warn(
+            f"min-label propagation did not converge within "
+            f"{MAX_CC_ITERS} iterations ({changed} labels still "
+            f"changing): near-dup components wider than the iteration "
+            f"bound keep extra representatives",
+            stacklevel=2,
+        )
     return labels
 
 
-def neardup_collapse_df(docs_df):
+def neardup_collapse_df(docs_df, with_stats: bool = False):
     """Near-duplicate collapse over any (doc_id, text, ...) frame: the
     full LSH lineage (shingles -> capped MinHash bands -> bucket-capped
     candidates -> exact-Jaccard verify -> min-label clusters), keeping
     only each component's minimum doc_id.  Returns the surviving rows
     of ``docs_df`` unchanged — the composable job-level stage
     (jobs/curate_job.py --neardup) matching the oracled
-    ``corpus_curation_v3`` semantics."""
+    ``corpus_curation_v3`` semantics.
+
+    ``with_stats=True`` additionally returns the no-silent-caps ledger
+    the audit query promises every curation run carries: the number of
+    collapsed docs, band rows dropped by BUCKET_CAP (docs a fired cap
+    silently RETAINS — they join no candidate pair), and the largest
+    bucket seen."""
     from pyspark import StorageLevel  # noqa: PLC0415
 
     sh = _shingles_from(docs_df.select("doc_id", "text")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cand = _lsh_candidates_from(_minhash_bands_from(sh))
-    pairs = _jaccard_verified_from(cand, _capped_from(sh)).select(
-        "doc_a", "doc_b"
-    )
-    labels = _cluster_labels_from(pairs)
-    losers = labels.filter(F.col("cluster_id") != F.col("doc_id")).select(
-        "doc_id"
-    )
-    out = docs_df.join(losers, "doc_id", "left_anti")
-    sh.unpersist(blocking=False)
-    return out
+    try:
+        bands = _minhash_bands_from(sh)
+        cand = _lsh_candidates_from(bands)
+        pairs = _jaccard_verified_from(cand, _capped_from(sh)).select(
+            "doc_a", "doc_b"
+        )
+        labels = _cluster_labels_from(pairs)
+        losers = labels.filter(
+            F.col("cluster_id") != F.col("doc_id")
+        ).select("doc_id")
+        out = docs_df.join(losers, "doc_id", "left_anti")
+        if not with_stats:
+            return out
+        # labels are checkpointed, so losers.count() is cheap; the cap
+        # ledger re-aggregates the persisted shingle subtree once
+        cap = (
+            bands.groupBy("band", "h1", "h2")
+            .agg(F.count("*").alias("n"))
+            .agg(
+                F.sum(F.greatest(F.col("n") - BUCKET_CAP, F.lit(0))).alias(
+                    "n_cap_dropped_band_rows"
+                ),
+                F.max("n").alias("max_bucket"),
+            )
+            .first()
+        )
+        stats = {
+            "n_neardup_dropped": losers.count(),
+            "n_cap_dropped_band_rows": int(
+                cap["n_cap_dropped_band_rows"] or 0
+            ),
+            "max_band_bucket": int(cap["max_bucket"] or 0),
+        }
+        return out, stats
+    finally:
+        sh.unpersist(blocking=False)
 
 
 # edges = the LSH-verified pair pipeline (same CTEs as JACCARD_LSH_SQL)

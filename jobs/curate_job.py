@@ -57,12 +57,19 @@ def main(stop_session: bool = True) -> None:
     )
     n_in = docs.count()
 
-    n_neardup_dropped = 0
+    nd_stats = {
+        "n_neardup_dropped": 0,
+        "n_cap_dropped_band_rows": 0,
+        "max_band_bucket": 0,
+    }
     if args.neardup:
         from doclayout_yolo_spark.queries_text import neardup_collapse_df
 
-        docs = neardup_collapse_df(docs)
-        n_neardup_dropped = n_in - docs.count()
+        # with_stats carries the no-silent-caps ledger: a fired
+        # BUCKET_CAP silently RETAINS over-cap docs, so the job must
+        # surface it (lsh_bucket_cap_audit contract)
+        docs, nd_stats = neardup_collapse_df(docs, with_stats=True)
+        docs = docs.persist()  # consumed by dedup window + final join
 
     dd = dedup_paragraphs_df(docs)
     kept = dd.filter(F.col("n_kept") > 0).select(
@@ -96,11 +103,13 @@ def main(stop_session: bool = True) -> None:
         (F.max("last_block") + 1).alias("n_blocks"),
     ).first()
     gated.unpersist()
+    if args.neardup:
+        docs.unpersist()
     print(
         json.dumps(
             {
                 "n_input_docs": n_in,
-                "n_neardup_dropped": n_neardup_dropped,
+                **nd_stats,
                 "n_output_docs": agg["n_docs"],
                 "total_tokens": int(agg["total_tokens"] or 0),
                 "n_blocks": int(agg["n_blocks"] or 0),
