@@ -1339,6 +1339,106 @@ LEFT JOIN p ON u.user_id = p.user_id
 # verified.
 
 
+# --- count-min sketch (heavy-hitter counting) --------------------------------
+#
+# The third sketch next to HLL and the quantile digest: a d x w counter
+# grid where row j counts tokens by hash_j(token) % w; est(x) =
+# min_j grid[j][hash_j(x)] NEVER under-counts (every occurrence of x
+# lands in x's cell; collisions only add).  Built relationally: one
+# (row, bucket) counting aggregation over d replicated hash rows —
+# partial-agg collapses to d*w cells before the exchange, the sketch
+# a 100 TB stream would keep in O(d*w) memory.  The query proves the
+# overestimate property cell-by-cell against true counts for the top
+# terms, in both engines.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_PROBE_TOPK = 20
+
+
+def countmin_heavy_hitters(spark, sf_dir):
+    from .queries_text import _h64, _toks_spark  # noqa: PLC0415
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(F.expr(_toks_spark("text"))).alias("tok"))
+    rows = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("j"))
+    cells = (
+        toks.crossJoin(F.broadcast(rows))
+        .select(
+            "j",
+            F.pmod(
+                _h64(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("tok"))),
+                F.lit(CMS_WIDTH),
+            ).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    truth = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("tok"))
+        .limit(CMS_PROBE_TOPK)
+    )
+    probe = truth.crossJoin(F.broadcast(rows)).select(
+        "tok",
+        "true_count",
+        "j",
+        F.pmod(
+            _h64(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("tok"))),
+            F.lit(CMS_WIDTH),
+        ).alias("bucket"),
+    )
+    est = (
+        probe.join(cells, ["j", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "tok",
+        F.col("true_count").cast("long").alias("true_count"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("true_count")).cast("long").alias(
+            "overestimate"
+        ),
+        (F.col("cms_estimate") >= F.col("true_count")).alias("never_undercounts"),
+    )
+
+
+def _cms_sql() -> str:
+    from .queries_text import _H64_DUCK, _toks_duck  # noqa: PLC0415
+
+    h = _H64_DUCK.format(x="CAST(j AS VARCHAR) || ':' || tok")
+    return f"""
+WITH toks AS (
+  SELECT UNNEST({_toks_duck("text")}) AS tok FROM documents
+),
+rows_ AS (SELECT CAST(r.range AS INT) AS j FROM range({CMS_DEPTH}) r),
+cells AS (
+  SELECT j, {h} % {CMS_WIDTH} AS bucket, COUNT(*) AS c
+  FROM toks, rows_ GROUP BY 1, 2
+),
+truth AS (
+  SELECT tok, COUNT(*) AS true_count FROM toks GROUP BY tok
+  ORDER BY true_count DESC, tok ASC LIMIT {CMS_PROBE_TOPK}
+),
+probe AS (
+  SELECT tok, true_count, j, {h} % {CMS_WIDTH} AS bucket
+  FROM truth, rows_
+)
+SELECT p.tok,
+       CAST(p.true_count AS BIGINT) AS true_count,
+       CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c.c) - p.true_count AS BIGINT) AS overestimate,
+       MIN(c.c) >= p.true_count AS never_undercounts
+FROM probe p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+GROUP BY p.tok, p.true_count
+"""
+
+
+CMS_SQL = _cms_sql()
+
+
 def approx_quantile_accuracy(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -1373,6 +1473,7 @@ CURATION_QUERIES = {
     "jsonl_export_roundtrip": (jsonl_export_roundtrip, JSONL_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
     "approx_quantile_accuracy": (approx_quantile_accuracy, APPROX_QUANTILE_SQL),
+    "countmin_heavy_hitters": (countmin_heavy_hitters, CMS_SQL),
     "compression_ratio": (
         compression_ratio,
         _curation_golden_sql("compression_ratio"),

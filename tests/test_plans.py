@@ -320,3 +320,43 @@ def test_round4_text_queries_bounded_scans(spark):
         plan = plan_of(fn(spark, SF_DIR), "simple")
         assert plan.count("FileScan parquet") <= 3
         assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    # Catalyst's runtime bloom-filter join pruning (InjectRuntimeFilter):
+    # a selective dim-side filter seeds a bloom filter that prunes the
+    # fact-side scan BEFORE the shuffle join — the runtime analog of
+    # static partition pruning, free at 100 TB when enabled.  Size
+    # thresholds are tuned down because fixture tables are tiny; the
+    # capability (not the threshold) is what this pins.
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in keys.items():
+        try:
+            old[k] = conf.get(k)
+        except Exception:
+            old[k] = None
+        conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(j, "simple")
+        assert "bloom" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
