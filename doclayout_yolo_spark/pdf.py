@@ -183,8 +183,15 @@ _HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
 
 
 def _u16(hexs: bytes) -> str:
-    """CMap destination hex -> text (UTF-16BE per the ToUnicode spec)."""
-    return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be", "replace")
+    """CMap destination hex -> text (UTF-16BE per the ToUnicode spec).
+
+    Odd-digit destinations (e.g. ``<041>`` from a sloppy producer) are
+    padded with a trailing '0' like ``_hex_bytes`` does — a single
+    malformed entry must degrade per-entry, not quarantine the doc."""
+    s = hexs.decode("ascii")
+    if len(s) % 2:
+        s += "0"
+    return bytes.fromhex(s).decode("utf-16-be", "replace")
 
 
 def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:

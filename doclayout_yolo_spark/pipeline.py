@@ -188,12 +188,72 @@ def data_path(output_path: str) -> str:
     return os.path.join(output_path, "data")
 
 
-def completed_buckets(spark: SparkSession, output_path: str) -> DataFrame | None:
-    mp = _manifest_path(output_path)
+#: manifest kernel_version marker for a bucket whose data partition was
+#: deleted (all its urls removed by an incremental update).  The analog
+#: of an Iceberg delete-file entry: the append-only manifest stays
+#: append-only, and liveness is decided by the NEWEST row per bucket.
+TOMBSTONE = "__deleted__"
+
+
+def _append_manifest(
+    spark: SparkSession, output_path: str, rows: list[tuple[int, str]]
+) -> None:
+    """Append (part_id, kernel_version) manifest rows stamped with a
+    monotone ``seq`` (driver wall clock — one driver, one clock) so a
+    tombstone can supersede earlier commit rows and a re-commit can
+    supersede the tombstone."""
+    if not rows:
+        return
+    now = time.time()
+    spark.createDataFrame(
+        [(p, v, now) for p, v in rows],
+        schema="part_id int, kernel_version string, seq double",
+    ).write.mode("append").parquet(_manifest_path(output_path))
+
+
+def _read_manifest(spark: SparkSession, output_path: str) -> DataFrame | None:
+    """Manifest rows with schema evolution handled: rows written before
+    round 5 predate the ``seq`` column; mergeSchema surfaces them with
+    seq = null, coalesced to 0.0 (older than any stamped row)."""
     try:
-        return spark.read.parquet(mp).select("part_id").distinct()
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(_manifest_path(output_path))
+        )
     except Exception:
         return None
+    if "seq" not in df.columns:
+        df = df.withColumn("seq", F.lit(0.0))
+    return df.withColumn("seq", F.coalesce(F.col("seq"), F.lit(0.0)))
+
+
+def _latest_manifest_rows(m: DataFrame, version: str) -> DataFrame:
+    """(part_id, kernel_version) of each bucket's NEWEST manifest row.
+    Tie-break (possible only among pre-seq legacy rows, which contain
+    no tombstones): prefer the current kernel version, preserving the
+    legacy ``stale_buckets`` semantics of "current row present => not
+    stale"."""
+    order = F.struct(
+        F.col("seq"),
+        (F.col("kernel_version") == F.lit(version)).cast("int"),
+    )
+    return m.groupBy("part_id").agg(
+        F.max_by("kernel_version", order).alias("kernel_version")
+    )
+
+
+def completed_buckets(spark: SparkSession, output_path: str) -> DataFrame | None:
+    """Buckets with data committed and not since tombstoned.  Resume
+    anti-joins against this, so an emptied-then-re-added bucket is
+    correctly re-extracted rather than skipped."""
+    m = _read_manifest(spark, output_path)
+    if m is None:
+        return None
+    return (
+        _latest_manifest_rows(m, KERNEL_VERSION)
+        .filter(F.col("kernel_version") != TOMBSTONE)
+        .select("part_id")
+    )
 
 
 def _reconcile_orphans(spark: SparkSession, output_path: str) -> list[int]:
@@ -323,11 +383,9 @@ def run_extraction_job(
     n_docs = sum(r["n_docs"] for r in lineage_rows)
     processed = sorted({p for r in lineage_rows for p in r["part_ids"]})
     _write_lineage(spark, lineage_rows, output_path)
-    if processed:
-        spark.createDataFrame(
-            [(p, KERNEL_VERSION) for p in processed],
-            schema="part_id int, kernel_version string",
-        ).write.mode("append").parquet(_manifest_path(output_path))
+    _append_manifest(
+        spark, output_path, [(p, KERNEL_VERSION) for p in processed]
+    )
     return {
         "n_docs": n_docs,
         "n_buckets_processed": len(processed),
@@ -368,18 +426,15 @@ def stale_buckets(
     """Buckets whose newest manifest row was written by an OLDER
     kernel: the targets of an incremental re-extraction after a kernel
     upgrade (the Iceberg snapshot-evolution analog — reprocess only
-    what the new code would change, not the whole corpus)."""
-    done = None
-    try:
-        done = spark.read.parquet(_manifest_path(output_path))
-    except Exception:
+    what the new code would change, not the whole corpus).  Tombstoned
+    buckets (emptied by an incremental removal) are NOT stale — they
+    have no data to upgrade."""
+    m = _read_manifest(spark, output_path)
+    if m is None:
         return []
-    current = done.filter(F.col("kernel_version") == version).select(
-        "part_id"
-    ).distinct()
     stale = (
-        done.select("part_id").distinct()
-        .join(current, "part_id", "left_anti")
+        _latest_manifest_rows(m, version)
+        .filter(~F.col("kernel_version").isin(version, TOMBSTONE))
         .collect()
     )
     return sorted(r["part_id"] for r in stale)
@@ -419,10 +474,9 @@ def reprocess_stale_buckets(
     lineage_rows = _dedup_lineage(lineage_acc.value)
     n_docs = sum(r["n_docs"] for r in lineage_rows)
     _write_lineage(spark, lineage_rows, output_path)
-    spark.createDataFrame(
-        [(p, KERNEL_VERSION) for p in stale],
-        schema="part_id int, kernel_version string",
-    ).write.mode("append").parquet(_manifest_path(output_path))
+    _append_manifest(
+        spark, output_path, [(p, KERNEL_VERSION) for p in stale]
+    )
     return {"n_docs": n_docs, "n_buckets_reprocessed": len(stale)}
 
 
@@ -510,7 +564,11 @@ def run_incremental_job(
         .parquet(data_path(output_path))
     )
     # dynamic overwrite only replaces partitions PRESENT in the write:
-    # a bucket emptied by removals must be deleted explicitly
+    # a bucket emptied by removals must be deleted explicitly, AND
+    # recorded as a manifest tombstone — deleting only the data would
+    # leave completed_buckets permanently claiming a bucket that has no
+    # data directory, indistinguishable from a committed one at the
+    # next _reconcile_orphans pass (r4 advisor finding)
     live = {
         r["part_id"]
         for r in bucketed.select("part_id").distinct().collect()
@@ -524,10 +582,11 @@ def run_incremental_job(
     lineage_rows = _dedup_lineage(lineage_acc.value)
     result["n_docs"] = sum(r["n_docs"] for r in lineage_rows)
     _write_lineage(spark, lineage_rows, output_path)
-    spark.createDataFrame(
-        [(p, KERNEL_VERSION) for p in stale],
-        schema="part_id int, kernel_version string",
-    ).write.mode("append").parquet(_manifest_path(output_path))
+    _append_manifest(
+        spark,
+        output_path,
+        [(p, KERNEL_VERSION if p in live else TOMBSTONE) for p in stale],
+    )
     return result
 
 

@@ -123,3 +123,22 @@ def test_emptied_bucket_partition_is_deleted(spark, snapshots, tmp_path_factory)
     assert not os.path.exists(os.path.join(data_path(out), f"part_id={victim}"))
     got_urls = {r["url"] for r in read_extracted(spark, out).select("url").collect()}
     assert got_urls == {r["url"] for r in v2.select("url").collect()}
+
+    # manifest/data consistency (r4 advisor finding): the emptied bucket
+    # is TOMBSTONED, so completed_buckets no longer claims it and a
+    # reconcile pass can't confuse it with a committed bucket...
+    from doclayout_yolo_spark.pipeline import completed_buckets, stale_buckets
+
+    done = {r["part_id"] for r in completed_buckets(spark, out).collect()}
+    assert victim not in done
+    assert victim not in stale_buckets(spark, out)  # nothing to upgrade
+
+    # ...and a later snapshot that RE-ADDS those urls re-extracts the
+    # bucket (re-commit supersedes the tombstone)
+    stats3 = run_incremental_job(spark, v2, v1, out, n_buckets=N_BUCKETS)
+    assert stats3["n_added"] == len(doomed)
+    done3 = {r["part_id"] for r in completed_buckets(spark, out).collect()}
+    assert victim in done3
+    assert os.path.exists(os.path.join(data_path(out), f"part_id={victim}"))
+    urls3 = {r["url"] for r in read_extracted(spark, out).select("url").collect()}
+    assert urls3 == {r["url"] for r in v1.select("url").collect()}

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 
+import pyspark
 import pytest
 
 from doclayout_yolo_spark.queries_text import (
@@ -79,7 +80,12 @@ def test_cap_is_applied_map_side(spark):
         .toString()
     )
     # partial WindowGroupLimit = rank<=CAP enforced before the bucket
-    # exchange; a regression to plain collect_list loses both markers
+    # exchange; a regression to plain collect_list loses the node.
+    # Only the node's PRESENCE is asserted unconditionally — the exact
+    # "row_number(), 64" rendering is Spark-version-specific (pinned on
+    # 4.1, where this repo was built), so that detail is guarded to
+    # avoid failing a future Spark upgrade without a real regression.
     assert "WindowGroupLimit" in plan
-    assert "Partial" in plan
-    assert f"row_number(), {BUCKET_CAP}" in plan
+    if pyspark.__version__.startswith("4.1"):
+        assert "Partial" in plan
+        assert f"row_number(), {BUCKET_CAP}" in plan

@@ -155,6 +155,20 @@ def test_bfrange_expansion_is_capped_and_overflow_safe():
     assert 0x100 not in cmap2  # would have needed dst 0x10000 in 2 bytes
 
 
+def test_odd_digit_cmap_destination_degrades_per_entry():
+    """r4 advisor finding: an odd-digit destination like <041> (sloppy
+    producer) must not raise out of _parse_tounicode and quarantine the
+    whole doc — it pads with a trailing '0' like _hex_bytes does."""
+    from doclayout_yolo_spark.pdf import _parse_tounicode, _u16
+
+    assert _u16(b"041") == bytes.fromhex("0410").decode("utf-16-be")
+    cmap, _ = _parse_tounicode(
+        b"2 beginbfchar <01> <041> <02> <0042> endbfchar\n"
+    )
+    assert cmap[0x02] == "B"  # well-formed sibling entry unaffected
+    assert 0x01 in cmap  # malformed entry degraded, not fatal
+
+
 def test_tounicode_bfrange_array_form_and_width():
     from doclayout_yolo_spark.pdf import _parse_tounicode
 

@@ -162,10 +162,12 @@ def test_orphan_bucket_reconciliation(spark, pages_df, tmp_path_factory):
     # simulate the crash window: bucket 3's manifest rows vanish while
     # its data remains (equivalently: data landed, manifest write died)
     m = spark.read.parquet(manifest_dir).filter(F.col("part_id") != 3)
-    rows = m.collect()
+    rows = [
+        (r["part_id"], r["kernel_version"], r["seq"]) for r in m.collect()
+    ]
     shutil.rmtree(manifest_dir)
     spark.createDataFrame(
-        rows, schema="part_id int, kernel_version string"
+        rows, schema="part_id int, kernel_version string, seq double"
     ).write.parquet(manifest_dir)
     assert os.path.isdir(f"{data_dir}/part_id=3")
 
