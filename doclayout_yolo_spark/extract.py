@@ -245,6 +245,83 @@ class _BlockParser:
         self._end_block()
 
 
+# ---------------------------------------------------------------------------
+# charset sniffing (BOM + WHATWG-style <meta charset> prescan)
+# ---------------------------------------------------------------------------
+#
+# A large share of real Common-Crawl HTML is not UTF-8 (cp1252,
+# Shift-JIS, GBK, ...); decoding everything utf-8/replace silently
+# mangles those pages into mojibake.  The sniffer is deterministic and
+# pure-stdlib: BOM first (highest precedence, per WHATWG "encoding
+# sniffing algorithm"), then a <meta charset=...> / http-equiv
+# Content-Type scan over the first SNIFF_LIMIT bytes (the spec's
+# prescan window), then the utf-8/replace fallback.  Only an
+# allowlisted stdlib codec set is honored — an unknown or misdeclared
+# label falls back to utf-8 rather than erroring (decode never raises:
+# errors="replace" throughout, so a lying meta tag degrades, it does
+# not quarantine).  The reference consumes arbitrary real-world files
+# as-is (data/loaders.py:320-370); this is the HTML-bytes equivalent.
+
+SNIFF_LIMIT = 1024  # WHATWG meta-prescan window
+
+# label -> python codec; labels per WHATWG Encoding Standard's label
+# table (the subset with stdlib codecs).  x-user-defined and the
+# legacy single-byte long tail intentionally degrade to utf-8.
+_CHARSET_ALIASES: dict[str, str] = {
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    # WHATWG maps latin-1/ascii labels to windows-1252 (supersets)
+    "windows-1252": "cp1252", "cp1252": "cp1252", "x-cp1252": "cp1252",
+    "iso-8859-1": "cp1252", "iso8859-1": "cp1252", "latin-1": "cp1252",
+    "latin1": "cp1252", "l1": "cp1252", "ascii": "cp1252",
+    "us-ascii": "cp1252", "ansi_x3.4-1968": "cp1252",
+    "iso-8859-15": "iso8859-15", "iso8859-15": "iso8859-15",
+    "latin9": "iso8859-15",
+    "iso-8859-2": "iso8859-2", "latin2": "iso8859-2",
+    "windows-1250": "cp1250", "cp1250": "cp1250",
+    "windows-1251": "cp1251", "cp1251": "cp1251",
+    "windows-1256": "cp1256", "cp1256": "cp1256",
+    "koi8-r": "koi8-r", "koi8": "koi8-r", "koi8_r": "koi8-r",
+    # WHATWG: shift_jis labels (incl. sjis) -> windows-31j; cp932 is
+    # Python's superset codec for it
+    "shift_jis": "cp932", "shift-jis": "cp932", "sjis": "cp932",
+    "x-sjis": "cp932", "ms932": "cp932", "windows-31j": "cp932",
+    "euc-jp": "euc_jp", "euc_jp": "euc_jp", "x-euc-jp": "euc_jp",
+    # WHATWG: gb2312/gbk labels -> GBK; gb18030 distinct
+    "gbk": "gbk", "gb2312": "gbk", "gb-2312": "gbk", "gb_2312": "gbk",
+    "chinese": "gbk", "csgb2312": "gbk", "x-gbk": "gbk",
+    "gb18030": "gb18030",
+    "big5": "big5", "big5-hkscs": "big5hkscs", "cn-big5": "big5",
+    "euc-kr": "euc_kr", "euc_kr": "euc_kr", "korean": "euc_kr",
+    "ks_c_5601-1987": "euc_kr", "cseuckr": "euc_kr",
+    "tis-620": "cp874", "windows-874": "cp874", "iso-8859-11": "cp874",
+    # an ASCII-bytes meta claiming utf-16 is lying about its own
+    # encodability; WHATWG maps these labels to utf-8
+    "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
+}
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]{0,512}?charset\s*=\s*["']?\s*([a-zA-Z0-9._\-]{1,32})""",
+    re.I,
+)
+
+
+def sniff_charset(raw: bytes) -> str:
+    """Python codec name for an HTML byte payload (never raises)."""
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if raw.startswith(b"\xff\xfe") or raw.startswith(b"\xfe\xff"):
+        return "utf-16"  # the codec consumes the BOM and picks endianness
+    m = _META_CHARSET_RE.search(raw[:SNIFF_LIMIT])
+    if m is not None:
+        label = m.group(1).decode("ascii", "replace").lower()
+        return _CHARSET_ALIASES.get(label, "utf-8")
+    return "utf-8"
+
+
+def decode_html(raw: bytes | bytearray) -> str:
+    return bytes(raw).decode(sniff_charset(bytes(raw)), errors="replace")
+
+
 # tokenizer: comments / doctype / closing tag / opening tag.  Quoted
 # attribute values may contain '>'.
 _TAG_RE = re.compile(
@@ -270,7 +347,7 @@ _RAWTEXT_CLOSE = {
 
 def parse_blocks(html: bytes | str) -> list[Block]:
     if isinstance(html, (bytes, bytearray)):
-        html = html.decode("utf-8", errors="replace")
+        html = decode_html(html)
     p = _BlockParser()
     pos = 0
     n = len(html)

@@ -131,3 +131,78 @@ def test_feature_vector_dims_and_values():
     np.testing.assert_allclose(
         sp, [0.01, 0.04, 0.1, 0.1, 0.06, 0.09], atol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# charset sniffing (r4 verdict item 1: non-UTF-8 Common-Crawl pages)
+# ---------------------------------------------------------------------------
+
+
+def _page(body: str, head: str = "") -> str:
+    return f"<html><head>{head}</head><body><p>{body}</p></body></html>"
+
+
+def test_sniff_charset_bom_and_meta():
+    from doclayout_yolo_spark.extract import sniff_charset
+
+    assert sniff_charset(b"\xef\xbb\xbf<html>") == "utf-8-sig"
+    assert sniff_charset("x".encode("utf-16")) == "utf-16"
+    assert (
+        sniff_charset(b'<meta charset="windows-1252">') == "cp1252"
+    )
+    assert sniff_charset(b"<meta charset=ISO-8859-1>") == "cp1252"
+    assert (
+        sniff_charset(
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=Shift_JIS">'
+        )
+        == "cp932"
+    )
+    assert sniff_charset(b"<meta charset='gb2312'>") == "gbk"
+    assert sniff_charset(b"<meta charset=KOI8-R>") == "koi8-r"
+    assert sniff_charset(b"<html><p>nothing declared</p>") == "utf-8"
+    # unknown label and ASCII-bytes utf-16 claim both degrade to utf-8
+    assert sniff_charset(b"<meta charset=x-mystery-enc>") == "utf-8"
+    assert sniff_charset(b"<meta charset=utf-16>") == "utf-8"
+    # declaration OUTSIDE the 1024-byte prescan window is ignored
+    late = b"<html><head>" + b" " * 1100 + b'<meta charset="gbk"></head>'
+    assert sniff_charset(late) == "utf-8"
+
+
+def test_decode_html_recovers_legacy_encodings():
+    from doclayout_yolo_spark.extract import decode_html
+
+    cases = [
+        ("café — naïve", "cp1252", '<meta charset="windows-1252">'),
+        ("日本語のテスト", "shift_jis",
+         '<meta http-equiv="Content-Type" content="text/html; charset=Shift_JIS">'),
+        ("中文测试", "gbk", '<meta charset="GBK">'),
+        ("привет", "koi8-r", "<meta charset=koi8-r>"),
+    ]
+    for marker, codec, head in cases:
+        raw = _page(marker, head).encode(codec)
+        assert raw.decode("utf-8", "replace") != _page(marker, head)  # mojibake without sniff
+        assert decode_html(raw) == _page(marker, head)
+
+
+def test_extract_document_charset_end_to_end():
+    marker = "café — résumé of the naïve approach"
+    raw = _page(marker, '<meta charset="windows-1252">').encode("cp1252")
+    text, regions, _ = extract_document(raw)
+    assert text == marker
+    # BOM'd UTF-8 must not leak a ﻿ into the text
+    text2, _, _ = extract_document(b"\xef\xbb\xbf" + _page("plain x y").encode())
+    assert text2 == "plain x y"
+    # a LYING meta tag degrades (replace), never raises
+    bad = _page("日本語", '<meta charset="windows-1252">').encode("utf-8")
+    text3, _, _ = extract_document(bad)
+    assert isinstance(text3, str)
+
+
+def test_utf8_pages_unchanged_by_sniffer():
+    # regression pin: pages with no BOM/meta decode exactly as before
+    for i in range(10):
+        html, _, _ = make_page(f"https://host00.example.org/article/{i:08d}")
+        from doclayout_yolo_spark.extract import decode_html
+
+        assert decode_html(html) == html.decode("utf-8", errors="replace")
