@@ -1134,16 +1134,32 @@ WHERE d.doc_id >= {N_EVAL_DOCS}
 # The 32-bit query above keeps the fixture-scale output dense; this is
 # the shape a real corpus runs: a full 64-bit signature (bits 0-59
 # from md5 chars 1-15 of each token, bits 60-63 from chars 16-30 —
-# both engine-agnostic), banded 4 x 16 so any pair within hamming
-# distance 3 must agree exactly on >= 1 band (3 flips spoil at most 3
-# of 4 bands).  Sign-bit handling: bit 63 is assembled as int64-min
-# (two's complement) and band BUCKETS are built from the per-bit sums
+# both engine-agnostic), banded Manku-style (Detecting Near-Duplicates
+# for Web Crawling, WWW'07 §3): the signature splits into
+# SIM64_BLOCKS=5 blocks (13/13/13/13/12 bits); hamming <= 3 flips hit
+# at most 3 blocks, so every qualifying pair agrees exactly on >= 2
+# blocks — i.e. on at least one of the C(5,2)=10 block-PAIR keys.
+# Each band key is therefore ~25-26 bits (vs the old 4x16 scheme's 16):
+# 2^25+ buckets per band instead of 65,536, which is what keeps recall
+# from saturating at crawl scale (r4 verdict: at >= 1e7 docs every
+# 16-bit bucket held >= 150 docs and BUCKET_CAP dropped most of them).
+# Sign-bit handling: bit 63 is assembled as int64-min (two's
+# complement) and band BUCKETS are built from the per-bit sums
 # directly, so no arithmetic shift of a negative signature ever feeds
 # a modulo (where Spark/DuckDB sign semantics could drift).
 
 HAMMING64_MAX = 3
-SIM64_WIDTH = 16
-SIM64_BANDS = 4
+SIM64_BLOCKS = 5
+_SIM64_BLOCK_BOUNDS: list[tuple[int, int]] = [
+    (0, 13), (13, 26), (26, 39), (39, 52), (52, 64),
+]
+_SIM64_BLOCK_PAIRS: list[tuple[int, int]] = [
+    (i, j)
+    for i in range(SIM64_BLOCKS)
+    for j in range(i + 1, SIM64_BLOCKS)
+]
+SIM64_BANDS = len(_SIM64_BLOCK_PAIRS)  # C(5,2) = 10
+_SIM64_SHIFT = 13  # block values < 2^13; pair key = lo | hi << 13
 _I64_MIN = -9223372036854775807 - 1
 
 
@@ -1176,25 +1192,32 @@ def _simhash64_df(spark, sf_dir):
     for b in range(63):
         sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
     cols = [sim.cast("bigint").alias("simhash")]
-    for k in range(SIM64_BANDS):
-        bucket = F.lit(0)
-        for j in range(SIM64_WIDTH):
-            bucket = bucket + F.when(
-                F.col(f"s{k * SIM64_WIDTH + j}") > 0, F.lit(1 << j)
+    for k, (lo, hi) in enumerate(_SIM64_BLOCK_BOUNDS):
+        block = F.lit(0)
+        for j in range(hi - lo):
+            block = block + F.when(
+                F.col(f"s{lo + j}") > 0, F.lit(1 << j)
             ).otherwise(F.lit(0))
-        cols.append(bucket.cast("bigint").alias(f"b{k}"))
+        cols.append(block.cast("bigint").alias(f"b{k}"))
     return bit_sums.select("doc_id", *cols)
 
 
 def _sim64_bands(spark, sf_dir):
-    """(doc_id, simhash, band, bucket) rows in ONE pass — posexplode of
-    a band-struct array, not a 4-way union that would re-run the 64-sum
-    aggregation per band."""
+    """(doc_id, simhash, band, bucket) rows in ONE pass — explode of a
+    band-struct array, not a 10-way union that would re-run the 64-sum
+    aggregation per band.  band t is block-pair (i, j); its bucket key
+    concatenates the two block values (~25-26 bits)."""
     sim = _simhash64_df(spark, sf_dir)
     band_structs = F.array(
         *[
-            F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("bucket"))
-            for k in range(SIM64_BANDS)
+            F.struct(
+                F.lit(t).alias("band"),
+                (
+                    F.col(f"b{i}")
+                    + F.col(f"b{j}") * F.lit(1 << _SIM64_SHIFT)
+                ).cast("bigint").alias("bucket"),
+            )
+            for t, (i, j) in enumerate(_SIM64_BLOCK_PAIRS)
         ]
     )
     return sim.select(
@@ -1205,17 +1228,31 @@ def _sim64_bands(spark, sf_dir):
 def simhash64_hamming_pairs(spark, sf_dir):
     """Near-dup pairs with hamming <= 3 over the 64-bit signature —
     the corpus-scale variant of simhash_hamming_pairs (same pigeonhole
-    band -> bucket-groupBy pair expansion; no all-pairs join).  Buckets
-    are capped at BUCKET_CAP docs exactly like dedup_minhash_lsh
-    (lowest doc_ids win, rank filter before collect_list, drops counted
-    by lsh_bucket_cap_audit): a 16-bit band has only 65536 distinct
-    buckets, so mega-clusters are a certainty at crawl scale."""
+    band -> bucket-groupBy pair expansion; no all-pairs join).  Banding
+    is Manku-style block-pair keys (~25-26 bits each, see the scheme
+    comment above): the key space is 2^25+ per band, so random-bucket
+    occupancy stays tiny far past 1e9 docs.  Buckets are still capped
+    at BUCKET_CAP docs exactly like dedup_minhash_lsh (lowest doc_ids
+    win, rank filter before collect_list, drops counted by
+    lsh_bucket_cap_audit): true mega-clusters — identical boilerplate
+    pages sharing a full signature — remain a certainty at crawl scale
+    and the cap fences them regardless of key width."""
+    return _sim64_pairs(spark, sf_dir, cap=BUCKET_CAP)
+
+
+def _sim64_pairs(spark, sf_dir, cap: int | None):
+    """Band-bucket pair expansion; ``cap=None`` disables the bucket cap
+    (exact pigeonhole recall — used by the scale bench to MEASURE what
+    the cap costs, never in the contract path)."""
     bands = _sim64_bands(spark, sf_dir)
-    wcap = W.partitionBy("band", "bucket").orderBy("doc_id")
-    kept = (
-        bands.withColumn("rk", F.row_number().over(wcap))
-        .filter(F.col("rk") <= BUCKET_CAP)
-    )
+    if cap is not None:
+        wcap = W.partitionBy("band", "bucket").orderBy("doc_id")
+        kept = (
+            bands.withColumn("rk", F.row_number().over(wcap))
+            .filter(F.col("rk") <= cap)
+        )
+    else:
+        kept = bands
     buckets = (
         kept.groupBy("band", "bucket")
         .agg(
@@ -1252,9 +1289,10 @@ def _sim64_bit_duck(b: int) -> str:
 
 
 def _sim64_bucket_duck(k: int) -> str:
+    lo, hi = _SIM64_BLOCK_BOUNDS[k]
     return " + ".join(
-        f"(CASE WHEN s{k * SIM64_WIDTH + j} > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(SIM64_WIDTH)
+        f"(CASE WHEN s{lo + j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(hi - lo)
     )
 
 
@@ -1263,8 +1301,9 @@ _SIM64_VAL = "(CASE WHEN s63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END) + " +
 )
 
 _SIM64_BANDS_DUCK = "\nUNION ALL\n".join(
-    f"SELECT doc_id, simhash, {k} AS band, b{k} AS bucket FROM s"
-    for k in range(SIM64_BANDS)
+    f"SELECT doc_id, simhash, {t} AS band,"
+    f" b{i} + b{j} * {1 << _SIM64_SHIFT} AS bucket FROM s"
+    for t, (i, j) in enumerate(_SIM64_BLOCK_PAIRS)
 )
 
 SIMHASH64_HAMMING_SQL = f"""
@@ -1285,7 +1324,7 @@ sums AS (
 ),
 s AS (
   SELECT doc_id, CAST({_SIM64_VAL} AS BIGINT) AS simhash,
-         {", ".join(f"CAST({_sim64_bucket_duck(k)} AS BIGINT) AS b{k}" for k in range(SIM64_BANDS))}
+         {", ".join(f"CAST({_sim64_bucket_duck(k)} AS BIGINT) AS b{k}" for k in range(SIM64_BLOCKS))}
   FROM sums
 ),
 bands0 AS ({_SIM64_BANDS_DUCK}),
@@ -1307,21 +1346,171 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING64_MAX}
 """
 
 
-def lsh_bucket_cap_audit(spark, sf_dir):
-    """Per-band bucket-size audit for BOTH capped LSH families — the
-    'no silent caps' ledger: n_buckets, the largest bucket, and how
-    many band rows the BUCKET_CAP would drop.  At fixture scale
-    n_dropped is 0 everywhere (the cap exists for crawl-scale
-    mega-clusters); a curation job logs this alongside its pair counts
-    so a fired cap is visible, never silent."""
+# --- signature-level simhash dedup (the crawl-scale shape) -----------------------
+#
+# Real boilerplate clusters are signature-IDENTICAL by the thousands:
+# enumerating their doc pairs is quadratic no matter how wide the band
+# keys are, and any per-bucket cap then costs recall (measured 0.22 on
+# the sf0.1 twin corpus).  The scalable rendering collapses identical
+# signatures FIRST (one groupBy — linear, no pair explosion; a
+# 100k-doc boilerplate cluster becomes ONE signature row with
+# n_docs=100k), then bands the DISTINCT signatures.  Post-collapse
+# bucket occupancy is tiny, so the safety cap (still present, still
+# audited) essentially never fires and pigeonhole recall is exact.
 
-    def _roll(sizes, fam):
+
+def _sim64_sigs(spark, sf_dir):
+    """(simhash, n_docs, rep_doc, b0..b4): one row per DISTINCT
+    signature; rep_doc = min doc_id is the cluster representative.
+    Blocks are identical for equal signatures, so min() just picks
+    the shared value."""
+    sim = _simhash64_df(spark, sf_dir)
+    return sim.groupBy("simhash").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("rep_doc"),
+        *[F.min(f"b{k}").alias(f"b{k}") for k in range(SIM64_BLOCKS)],
+    )
+
+
+#: sig-level cap — larger than the doc-level BUCKET_CAP because the
+#: quadratic mega-cluster risk is already gone (identical signatures
+#: are ONE row); what remains in a bucket is a dense FAMILY of distinct
+#: near-signatures, bounded C(256,2)=32,640 pairs worst case.  Measured
+#: on the sf0.1 corpus: max sig-bucket 249, p99 = 11, recall vs the
+#: exact uncapped doc-pair relation = 1.0 (BENCH/dedup_scale.json).
+SIG_BUCKET_CAP = 256
+
+
+def simhash64_sig_pairs(spark, sf_dir, cap: int = SIG_BUCKET_CAP):
+    """hamming <= 3 pairs over DISTINCT signatures, each side carrying
+    its member count and min-doc representative.  Together with the
+    implicit identical-signature groups this recovers the full doc-pair
+    relation without ever materializing it: doc pairs =
+    sum(C(n_docs,2)) within signatures + sum(n_docs_a*n_docs_b) across
+    the emitted signature pairs (the scale bench verifies recall=1.0
+    at fixture scale)."""
+    sigs = _sim64_sigs(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band"),
+                (
+                    F.col(f"b{i}")
+                    + F.col(f"b{j}") * F.lit(1 << _SIM64_SHIFT)
+                ).cast("bigint").alias("bucket"),
+            )
+            for t, (i, j) in enumerate(_SIM64_BLOCK_PAIRS)
+        ]
+    )
+    bands = sigs.select(
+        "simhash", "n_docs", "rep_doc", F.explode(band_structs).alias("bb")
+    ).select("simhash", "n_docs", "rep_doc", "bb.band", "bb.bucket")
+    wcap = W.partitionBy("band", "bucket").orderBy("rep_doc")
+    kept = (
+        bands.withColumn("rk", F.row_number().over(wcap))
+        .filter(F.col("rk") <= cap)
+    )
+    buckets = (
+        kept.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("rep_doc", "simhash", "n_docs"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " b -> struct(a.rep_doc AS rep_a, b.rep_doc AS rep_b,"
+                    " a.simhash AS sa, b.simhash AS sb,"
+                    " a.n_docs AS n_docs_a, b.n_docs AS n_docs_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("long"))
+        .filter(F.col("hamming") <= HAMMING64_MAX)
+        .select("rep_a", "rep_b", "hamming", "n_docs_a", "n_docs_b")
+    )
+
+
+_SIG_BANDS_DUCK = "\nUNION ALL\n".join(
+    f"SELECT simhash, n_docs, rep_doc, {t} AS band,"
+    f" b{i} + b{j} * {1 << _SIM64_SHIFT} AS bucket FROM sigs"
+    for t, (i, j) in enumerate(_SIM64_BLOCK_PAIRS)
+)
+
+SIMHASH64_SIG_PAIRS_SQL = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, UNNEST({_TOKS_DUCK_TEXT}) AS word FROM documents)
+),
+hashed AS (
+  SELECT doc_id,
+         {_H64_DUCK.format(x="word")} AS h1,
+         CAST(concat('0x', substr(md5(word), 16, 15)) AS BIGINT) AS h2
+  FROM words
+),
+sums AS (
+  SELECT doc_id,
+         {", ".join(_sim64_bit_duck(b) for b in range(64))}
+  FROM hashed GROUP BY doc_id
+),
+s AS (
+  SELECT doc_id, CAST({_SIM64_VAL} AS BIGINT) AS simhash,
+         {", ".join(f"CAST({_sim64_bucket_duck(k)} AS BIGINT) AS b{k}" for k in range(SIM64_BLOCKS))}
+  FROM sums
+),
+sigs AS (
+  SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS rep_doc,
+         {", ".join(f"MIN(b{k}) AS b{k}" for k in range(SIM64_BLOCKS))}
+  FROM s GROUP BY simhash
+),
+bands0 AS ({_SIG_BANDS_DUCK}),
+bands AS (
+  SELECT simhash, n_docs, rep_doc, band, bucket FROM (
+    SELECT simhash, n_docs, rep_doc, band, bucket,
+           ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY rep_doc) AS rk
+    FROM bands0
+  ) WHERE rk <= {SIG_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.rep_doc AS rep_a, b.rep_doc AS rep_b,
+         a.simhash AS sa, b.simhash AS sb,
+         a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.rep_doc < b.rep_doc
+)
+SELECT rep_a, rep_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
+       n_docs_a, n_docs_b
+FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING64_MAX}
+"""
+
+
+def lsh_bucket_cap_audit(spark, sf_dir):
+    """Per-band bucket-size audit for ALL capped LSH families — the
+    'no silent caps' ledger: n_buckets, the largest bucket, and how
+    many band rows each family's cap would drop (BUCKET_CAP for the
+    doc-level minhash/simhash64 bands, SIG_BUCKET_CAP for the
+    signature-level bands).  At fixture scale n_dropped is 0
+    everywhere (the caps exist for crawl-scale mega-clusters); a
+    curation job logs this alongside its pair counts so a fired cap is
+    visible, never silent."""
+
+    def _roll(sizes, fam, cap):
         return (
             sizes.groupBy("band")
             .agg(
                 F.count("*").cast("long").alias("n_buckets"),
                 F.max("n").cast("long").alias("max_bucket"),
-                F.sum(F.greatest(F.col("n") - F.lit(BUCKET_CAP), F.lit(0)))
+                F.sum(F.greatest(F.col("n") - F.lit(cap), F.lit(0)))
                 .cast("long")
                 .alias("n_dropped"),
             )
@@ -1344,15 +1533,44 @@ def lsh_bucket_cap_audit(spark, sf_dir):
         .groupBy("band", "bucket")
         .agg(F.count("*").alias("n"))
     )
-    return _roll(m_sizes, "minhash").unionByName(_roll(s_sizes, "simhash64"))
+    sigs = _sim64_sigs(spark, sf_dir)
+    g_sizes = (
+        sigs.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("band"),
+                            (
+                                F.col(f"b{i}")
+                                + F.col(f"b{j}") * F.lit(1 << _SIM64_SHIFT)
+                            ).cast("bigint").alias("bucket"),
+                        )
+                        for t, (i, j) in enumerate(_SIM64_BLOCK_PAIRS)
+                    ]
+                )
+            ).alias("bb")
+        )
+        .groupBy("bb.band", "bb.bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        _roll(m_sizes, "minhash", BUCKET_CAP)
+        .unionByName(_roll(s_sizes, "simhash64", BUCKET_CAP))
+        .unionByName(_roll(g_sizes, "simhash64_sig", SIG_BUCKET_CAP))
+    )
 
 
-_CAP_AUDIT_ROLL = f"""
+def _cap_audit_roll(cap: int) -> str:
+    return f"""
   SELECT family, CAST(band AS BIGINT) AS band,
          CAST(COUNT(*) AS BIGINT) AS n_buckets,
          CAST(MAX(n) AS BIGINT) AS max_bucket,
-         CAST(SUM(CASE WHEN n > {BUCKET_CAP} THEN n - {BUCKET_CAP} ELSE 0 END) AS BIGINT) AS n_dropped
+         CAST(SUM(CASE WHEN n > {cap} THEN n - {cap} ELSE 0 END) AS BIGINT) AS n_dropped
 """
+
+
+_CAP_AUDIT_ROLL = _cap_audit_roll(BUCKET_CAP)
 
 LSH_CAP_AUDIT_SQL = f"""
 WITH sh AS ({_SHINGLES_DUCK}),
@@ -1382,7 +1600,7 @@ sums AS (
   FROM hashed GROUP BY doc_id
 ),
 s AS (
-  SELECT doc_id, CAST(0 AS BIGINT) AS simhash,
+  SELECT doc_id, CAST({{sim_val}} AS BIGINT) AS simhash,
          {{sim_buckets}}
   FROM sums
 ),
@@ -1390,18 +1608,31 @@ sbands AS ({_SIM64_BANDS_DUCK}),
 ssizes AS (
   SELECT 'simhash64' AS family, band, COUNT(*) AS n
   FROM sbands GROUP BY band, bucket
+),
+sigs AS (
+  SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS rep_doc,
+         {", ".join(f"MIN(b{k}) AS b{k}" for k in range(SIM64_BLOCKS))}
+  FROM s GROUP BY simhash
+),
+sigbands AS ({_SIG_BANDS_DUCK}),
+gsizes AS (
+  SELECT 'simhash64_sig' AS family, band, COUNT(*) AS n
+  FROM sigbands GROUP BY band, bucket
 )
 {_CAP_AUDIT_ROLL} FROM msizes GROUP BY family, band
 UNION ALL
 {_CAP_AUDIT_ROLL} FROM ssizes GROUP BY family, band
+UNION ALL
+{_cap_audit_roll(SIG_BUCKET_CAP)} FROM gsizes GROUP BY family, band
 """
 
 LSH_CAP_AUDIT_SQL = LSH_CAP_AUDIT_SQL.format(
     toks=_TOKS_DUCK_TEXT,
     sim_bits=", ".join(_sim64_bit_duck(b) for b in range(64)),
+    sim_val=_SIM64_VAL,
     sim_buckets=", ".join(
         f"CAST({_sim64_bucket_duck(k)} AS BIGINT) AS b{k}"
-        for k in range(SIM64_BANDS)
+        for k in range(SIM64_BLOCKS)
     ),
 )
 
@@ -2449,5 +2680,6 @@ TEXT_QUERIES = {
     "repetition_ratio": (repetition_ratio, REPETITION_SQL),
     "simhash_hamming_pairs": (simhash_hamming_pairs, SIMHASH_HAMMING_SQL),
     "simhash64_hamming_pairs": (simhash64_hamming_pairs, SIMHASH64_HAMMING_SQL),
+    "simhash64_sig_pairs": (simhash64_sig_pairs, SIMHASH64_SIG_PAIRS_SQL),
     "lsh_bucket_cap_audit": (lsh_bucket_cap_audit, LSH_CAP_AUDIT_SQL),
 }

@@ -64,12 +64,33 @@ def test_cap_audit_counts_every_drop(spark, mega_dir):
         (r["family"], r["band"]): r
         for r in lsh_bucket_cap_audit(spark, mega_dir).collect()
     }
-    assert len(audit) == N_BANDS + SIM64_BANDS
-    for (_family, _band), r in audit.items():
+    # doc-level minhash + simhash64 bands, plus the signature-level bands
+    assert len(audit) == N_BANDS + 2 * SIM64_BANDS
+    for (family, _band), r in audit.items():
         # all 10k docs are identical -> ONE bucket per band holding all
         assert r["n_buckets"] == 1
-        assert r["max_bucket"] == N_CLONES
-        assert r["n_dropped"] == N_CLONES - BUCKET_CAP
+        if family == "simhash64_sig":
+            # the sig-level rendering collapses the whole mega-cluster
+            # into ONE signature row BEFORE banding: nothing to drop
+            assert r["max_bucket"] == 1
+            assert r["n_dropped"] == 0
+        else:
+            assert r["max_bucket"] == N_CLONES
+            assert r["n_dropped"] == N_CLONES - BUCKET_CAP
+
+
+def test_sig_pairs_mega_cluster_collapses_to_zero_pairs(spark, mega_dir):
+    # 10k identical docs = one signature = no signature PAIRS at all;
+    # the dedup information lives in the implicit sig group (n_docs=10k)
+    from doclayout_yolo_spark.queries_text import (
+        _sim64_sigs,
+        simhash64_sig_pairs,
+    )
+
+    assert simhash64_sig_pairs(spark, mega_dir).count() == 0
+    sigs = _sim64_sigs(spark, mega_dir).collect()
+    assert len(sigs) == 1
+    assert sigs[0]["n_docs"] == N_CLONES and sigs[0]["rep_doc"] == 0
 
 
 def test_cap_is_applied_map_side(spark):

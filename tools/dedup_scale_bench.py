@@ -70,9 +70,13 @@ def main() -> None:
     from doclayout_yolo_spark.queries_curation import dedup_paragraphs
     from doclayout_yolo_spark.queries_text import (
         _capped_shingles,
+        _sim64_pairs,
+        _sim64_sigs,
         dedup_jaccard_lsh,
         dedup_minhash_lsh,
         dedup_ngram_jaccard,
+        simhash64_hamming_pairs,
+        simhash64_sig_pairs,
     )
     from doclayout_yolo_spark.session import get_spark
 
@@ -98,6 +102,7 @@ def main() -> None:
             ("dedup_jaccard_lsh", dedup_jaccard_lsh),
             ("dedup_ngram_jaccard", dedup_ngram_jaccard),
             ("dedup_paragraphs", dedup_paragraphs),
+            ("simhash64_hamming_pairs", simhash64_hamming_pairs),
         ):
             best, n_out = float("inf"), None
             for _ in range(2):
@@ -105,11 +110,48 @@ def main() -> None:
                 n_out = fn(spark, sf_dir).count()
                 best = min(best, time.time() - t0)
             timings[qname] = {"wall_s": round(best, 3), "out_pairs": n_out}
+        # capped-vs-uncapped recall for the 64-bit simhash banding (the
+        # r4 verdict's saturation concern): uncapped pigeonhole finds
+        # EVERY hamming<=3 pair, so capped/uncapped IS the recall
+        n_capped = timings["simhash64_hamming_pairs"]["out_pairs"]
+        n_uncapped = _sim64_pairs(spark, sf_dir, cap=None).count()
+        timings["simhash64_recall_vs_uncapped"] = {
+            "capped_pairs": n_capped,
+            "uncapped_pairs": n_uncapped,
+            "recall": round(n_capped / max(n_uncapped, 1), 4),
+        }
+        # signature-level rendering (simhash64_sig_pairs): identical
+        # signatures collapse before banding, so the implied doc-pair
+        # relation is sum(C(m,2)) within signatures + sum(m_a*m_b)
+        # across emitted signature pairs — compare with the exact
+        # uncapped doc-pair count to verify recall
+        from pyspark.sql import functions as SF  # noqa: PLC0415
+
+        t0 = time.time()
+        sig_pairs = simhash64_sig_pairs(spark, sf_dir)
+        cross = sig_pairs.agg(
+            SF.sum(SF.col("n_docs_a") * SF.col("n_docs_b"))
+        ).collect()[0][0] or 0
+        sig_wall = time.time() - t0
+        within = _sim64_sigs(spark, sf_dir).agg(
+            SF.sum(SF.col("n_docs") * (SF.col("n_docs") - 1) / 2)
+        ).collect()[0][0] or 0
+        timings["simhash64_sig_pairs"] = {
+            "wall_s": round(sig_wall, 3),
+            "out_pairs": sig_pairs.count(),
+        }
+        timings["simhash64_sig_recall"] = {
+            "implied_doc_pairs": int(within + cross),
+            "uncapped_doc_pairs": n_uncapped,
+            "recall": round((within + cross) / max(n_uncapped, 1), 4),
+        }
         out[label] = {"rows": rows, "queries": timings}
 
     ratios = {}
     for q in out["1x"]["queries"]:
         a, b = out["1x"]["queries"][q], out["10x"]["queries"][q]
+        if "wall_s" not in a:
+            continue  # the recall entry is not a timing
         ratios[q] = {
             "wall_ratio": round(b["wall_s"] / max(a["wall_s"], 1e-9), 2),
             "pairs_ratio": round(
