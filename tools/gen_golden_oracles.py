@@ -12,8 +12,15 @@ contract's oracle_sql() reads them back with DuckDB's parquet_scan, so
 the driver's correctness gate value-hashes these three queries like any
 other instead of recording a rows-only check.
 
+INDEPENDENT CROSS-CHECK: tests/test_independent_oracle.py re-derives
+det_grouped_postprocess, detection_map, det_confusion_matrix and
+compression_ratio with a deliberately different pure-Python (no-NumPy)
+implementation and asserts agreement with these snapshots — the golden
+chain is no longer anchored solely on the code under test.  After
+regenerating, that test must still pass.
+
 Regenerate (only when kernel semantics intentionally change):
-    python tools/gen_golden_oracles.py
+    python tools/gen_golden_oracles.py && python -m pytest tests/test_independent_oracle.py -x -q
 """
 
 from __future__ import annotations
