@@ -44,6 +44,43 @@ from .extract import Block, _norm_ws
 
 PDF_MAGIC = b"%PDF-"
 
+
+class EncryptedPdfError(Exception):
+    """The document's trailer declares /Encrypt: content streams are
+    RC4/AES-encrypted and unreadable without key material.  Raised (not
+    degraded) so the quarantine wrapper records a DISTINCT reason —
+    encrypted PDFs are a double-digit fraction of wild crawls and must
+    be distinguishable from parser bugs in the stats (r4 verdict item
+    6).  ISO 32000-1 §7.6: the encryption dictionary is referenced from
+    the file trailer's /Encrypt entry."""
+
+
+# trailer dict (classic xref PDFs) — scanned in the file TAIL where
+# real trailers live, so page content merely mentioning the keyword in
+# a large document cannot false-positive
+_TRAILER_DICT_RE = re.compile(rb"trailer\s*<<(.*?)>>", re.S)
+# xref-stream PDFs (§7.5.8) have no trailer keyword: their /Encrypt
+# entry lives in the cross-reference STREAM dict, identified by
+# /Type /XRef.  Flat-dict match (XRef dicts carry /W /Index /Root —
+# never nested dicts), require the indirect-reference form so shown
+# TEXT mentioning "/Encrypt 9 0 R" inside a content stream can't
+# false-positive (it lacks /Type /XRef in the same dict).
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R\b")
+_FLAT_DICT_RE = re.compile(rb"<<((?:(?!<<|>>).)*)>>", re.S)
+_ENCRYPT_SCAN_TAIL = 8192
+
+
+def is_encrypted_pdf(raw: bytes) -> bool:
+    tail = raw[-_ENCRYPT_SCAN_TAIL:]
+    for m in _TRAILER_DICT_RE.finditer(tail):
+        if _ENCRYPT_REF_RE.search(m.group(1)):
+            return True
+    for m in _FLAT_DICT_RE.finditer(tail):
+        d = m.group(1)
+        if b"/XRef" in d and _ENCRYPT_REF_RE.search(d):
+            return True
+    return False
+
 # stream object = dict immediately followed by the stream keyword;
 # content-stream dicts are flat (/Length, /Filter) so a non-greedy
 # dict match is safe
@@ -452,6 +489,8 @@ def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
     the shared detector scores it down exactly like HTML <nav>/<footer>
     content.
     """
+    if is_encrypted_pdf(raw):
+        raise EncryptedPdfError("/Encrypt declared in trailer")
     streams, media, fontmaps = _content_streams(raw)
     if media is None:
         # fragmentary input with no resolvable page dict: raw scan

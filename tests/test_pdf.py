@@ -389,3 +389,43 @@ def test_mixed_html_pdf_single_job(spark):
     pdf_texts = [r for r in out if r["url"].endswith(".pdf")]
     assert len(pdf_texts) == 15
     assert all(r["extracted_text"].startswith("Pdf document") for r in pdf_texts)
+
+
+def test_encrypted_pdf_quarantines_with_distinct_reason():
+    """r4 verdict item 6: /Encrypt in the trailer must raise
+    EncryptedPdfError (distinct from corrupt-input degradation)."""
+    import pytest as _pytest
+
+    from doclayout_yolo_spark.extract import extract_document
+    from doclayout_yolo_spark.pdf import (
+        EncryptedPdfError,
+        build_pdf,
+        is_encrypted_pdf,
+        parse_pdf_blocks,
+    )
+
+    body = build_pdf([("hello secret", 12.0, 60.0, 100.0)])
+    enc = body.replace(b"trailer\n<< ", b"trailer\n<< /Encrypt 99 0 R ", 1)
+    assert is_encrypted_pdf(enc) and not is_encrypted_pdf(body)
+    with _pytest.raises(EncryptedPdfError):
+        parse_pdf_blocks(enc)
+    # through the quarantine wrapper: an error row, not a crash
+    from doclayout_yolo_spark.pipeline import _extract_one
+
+    text, regions, _meta, err = _extract_one("u", enc)
+    assert text == "" and regions == []
+    assert err is not None and err.startswith("EncryptedPdfError")
+
+    # page CONTENT merely mentioning the keyword must not false-positive
+    chatty = build_pdf([("the /Encrypt 9 0 R entry", 12.0, 60.0, 100.0)])
+    assert not is_encrypted_pdf(chatty)
+    blocks, _, _ = parse_pdf_blocks(chatty)
+    assert any("/Encrypt" in b.text for b in blocks)
+
+    # corrupt (non-encrypted) input still DEGRADES instead of erroring
+    corrupt = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 8 /Filter /FlateDecode >>\n"
+        b"stream\nBADBYTES\nendstream\nendobj\n"
+    )
+    text2, _, _, err2 = _extract_one("u", corrupt)
+    assert text2 == "" and err2 is None
