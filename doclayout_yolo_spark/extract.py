@@ -611,7 +611,9 @@ class Region:
     text: str
 
 
-def extract_document(html: bytes | str) -> tuple[str, list[Region], dict]:
+def extract_document(
+    html: bytes | str, stage_acc: dict | None = None
+) -> tuple[str, list[Region], dict]:
     """HTML or PDF -> (extracted_text, regions-in-reading-order, meta).
 
     The source dispatcher (S6): payloads starting with ``%PDF-`` route
@@ -624,7 +626,17 @@ def extract_document(html: bytes | str) -> tuple[str, list[Region], dict]:
     The text of each surviving region, joined by ``SEPARATOR``, is the
     byte-identity payload; spans carry offsets into it.  ``meta`` holds
     page geometry + counts for lineage.
+
+    ``stage_acc`` (optional, used by the Spark kernel's lineage): a
+    dict whose ``parse_s / detect_s / nms_s / assemble_s`` keys are
+    INCREMENTED with this document's per-stage wall seconds — the
+    reference's speed attribution (predictor.py:259-266 preprocess /
+    inference / postprocess dict), extended with the span-assembly
+    stage.  Timing never influences results (determinism contract).
     """
+    from time import perf_counter  # noqa: PLC0415
+
+    t0 = perf_counter()
     is_pdf = (isinstance(html, bytes) and html.startswith(b"%PDF-")) or (
         isinstance(html, str) and html.startswith("%PDF-")
     )
@@ -641,7 +653,9 @@ def extract_document(html: bytes | str) -> tuple[str, list[Region], dict]:
     else:
         blocks = parse_blocks(html)
         page_w, page_h = layout_blocks(blocks)
+    t1 = perf_counter()
     boxes_xywh, class_scores = proposals(blocks)
+    t2 = perf_counter()
     dets = postprocess(
         boxes_xywh,
         class_scores,
@@ -650,6 +664,7 @@ def extract_document(html: bytes | str) -> tuple[str, list[Region], dict]:
         max_det=MAX_DET,
         drop_classes=(ABANDON_CLS,),
     )
+    t3 = perf_counter()
     # one region per source block: the two-stage top-k is multi-label
     # (an anchor may emit 2 classes above threshold) and jittered
     # anchors may survive NMS on tiny boxes — dedup by block keeping the
@@ -686,6 +701,12 @@ def extract_document(html: bytes | str) -> tuple[str, list[Region], dict]:
         pieces.append(b.text)
         cursor = end
     extracted = SEPARATOR.join(pieces)
+    if stage_acc is not None:
+        t4 = perf_counter()
+        stage_acc["parse_s"] = stage_acc.get("parse_s", 0.0) + (t1 - t0)
+        stage_acc["detect_s"] = stage_acc.get("detect_s", 0.0) + (t2 - t1)
+        stage_acc["nms_s"] = stage_acc.get("nms_s", 0.0) + (t3 - t2)
+        stage_acc["assemble_s"] = stage_acc.get("assemble_s", 0.0) + (t4 - t3)
     meta = {
         "page_w": float(page_w),
         "page_h": float(page_h),

@@ -261,10 +261,16 @@ def postprocess(
     """
     boxes, conf, cls, anchors = v10_topk(boxes_xywh, class_scores, max_det)
     mask = conf > np.float32(conf_thres)
+    # class filters as equality ORs, not np.isin: the filter sets are
+    # 1-3 ids and np.isin's sort-based machinery measured ~10% of the
+    # whole extraction kernel on real pages (r5 stage profile)
     if keep_classes is not None:
-        mask &= np.isin(cls, np.asarray(keep_classes, dtype=np.int64))
-    if drop_classes:
-        mask &= ~np.isin(cls, np.asarray(drop_classes, dtype=np.int64))
+        km = np.zeros(len(cls), dtype=bool)
+        for c in keep_classes:
+            km |= cls == c
+        mask &= km
+    for c in drop_classes:
+        mask &= cls != c
     boxes, conf, cls, anchors = boxes[mask], conf[mask], cls[mask], anchors[mask]
     keep = batched_class_nms(boxes, conf, cls, iou_thres, max_det)
     boxes, conf, cls, anchors = boxes[keep], conf[keep], cls[keep], anchors[keep]

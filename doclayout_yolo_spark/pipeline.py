@@ -60,12 +60,12 @@ class _ListAccum(AccumulatorParam):
         return a
 
 
-def _extract_one(url: str, raw: bytes):
+def _extract_one(url: str, raw: bytes, stage_acc: dict | None = None):
     """Per-document quarantine wrapper (P9): a poisoned document must
     yield an error row, never kill the task — at 10^12 documents a
     one-in-a-billion parser bug would otherwise fail whole partitions."""
     try:
-        text, regions, meta = extract_document(raw)
+        text, regions, meta = extract_document(raw, stage_acc=stage_acc)
         return text, regions, meta, None
     except Exception as e:  # noqa: BLE001
         return (
@@ -90,6 +90,9 @@ def _extract_batches(batches, lineage_acc=None):
     n_regions_total = 0
     bytes_in = 0
     part_ids = set()
+    # per-stage speed attribution (A11 / predictor.py:259-266 parity):
+    # parse / detect / NMS / assemble wall seconds, summed per task
+    stage_acc: dict = {}
     for pdf in batches:
         rows = {
             "url": [], "part_id": [], "extracted_text": [], "spans": [],
@@ -99,7 +102,7 @@ def _extract_batches(batches, lineage_acc=None):
             pdf["url"].to_numpy(), pdf["html"].to_numpy(), pdf["part_id"].to_numpy()
         ):
             raw = bytes(html) if html is not None else b""
-            text, regions, meta, err = _extract_one(url, raw)
+            text, regions, meta, err = _extract_one(url, raw, stage_acc)
             rows["error"].append(err)
             rows["url"].append(url)
             rows["part_id"].append(int(part_id))
@@ -140,6 +143,10 @@ def _extract_batches(batches, lineage_acc=None):
                     "bytes_in": bytes_in,
                     "t_start": t_start,
                     "t_end": time.time(),
+                    "parse_s": stage_acc.get("parse_s", 0.0),
+                    "detect_s": stage_acc.get("detect_s", 0.0),
+                    "nms_s": stage_acc.get("nms_s", 0.0),
+                    "assemble_s": stage_acc.get("assemble_s", 0.0),
                     "kernel_version": KERNEL_VERSION,
                 }
             ]
@@ -289,6 +296,7 @@ LINEAGE_DDL = (
     "task_partition_id int, attempt_number int, "
     "part_ids array<int>, n_docs long, "
     "n_regions long, bytes_in long, t_start double, t_end double, "
+    "parse_s double, detect_s double, nms_s double, assemble_s double, "
     "kernel_version string"
 )
 
@@ -318,7 +326,10 @@ def _write_lineage(spark: SparkSession, lineage_rows: list[dict], output_path: s
                 r["task_partition_id"], r["attempt_number"],
                 r["part_ids"], r["n_docs"],
                 r["n_regions"], r["bytes_in"], float(r["t_start"]),
-                float(r["t_end"]), r["kernel_version"],
+                float(r["t_end"]),
+                float(r.get("parse_s", 0.0)), float(r.get("detect_s", 0.0)),
+                float(r.get("nms_s", 0.0)), float(r.get("assemble_s", 0.0)),
+                r["kernel_version"],
             )
             for r in lineage_rows
         ],
@@ -415,9 +426,16 @@ def read_lineage(spark: SparkSession, output_path: str) -> DataFrame:
     )
     if "attempt_number" not in df.columns:
         df = df.withColumn("attempt_number", F.lit(0))
-    return df.withColumn(
+    df = df.withColumn(
         "attempt_number", F.coalesce(F.col("attempt_number"), F.lit(0))
     )
+    # per-stage speed columns arrived in round 5; legacy rows -> 0.0
+    for c in ("parse_s", "detect_s", "nms_s", "assemble_s"):
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(0.0))
+        else:
+            df = df.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    return df
 
 
 def stale_buckets(
