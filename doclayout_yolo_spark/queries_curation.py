@@ -165,7 +165,17 @@ def sequence_packing_df(d, block: int = PACK_BLOCK):
     )
     local = d.withColumn("local_cum", F.sum("n_tokens").over(w_local))
     totals = d.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
-    w_prev = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    # second-level prefix sum over ONE ROW PER BUCKET (n_docs /
+    # PACK_BUCKET rows) — deliberately a single partition, made
+    # explicit with a constant partition key so WindowExec does not
+    # warn "No Partition Defined" on every run (r4 verdict item 7).
+    # At 10^12 docs raise PACK_BUCKET so this level stays small; the
+    # rows are 16-byte (bucket, total) pairs, never documents.
+    w_prev = (
+        W.partitionBy(F.lit(0))
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     offsets = totals.select(
         "bucket",
         F.coalesce(F.sum("bucket_total").over(w_prev), F.lit(0)).alias(
@@ -648,7 +658,10 @@ def weighted_sample(spark, sf_dir):
         " / cast(n_chars as double), 12) AS skey",
     )
     top = scored.orderBy("skey", "doc_id").limit(WS_K)
-    w = W.orderBy("skey", "doc_id")
+    # rank over the already-LIMITed K rows: single-partition by design
+    # (K is a constant), constant partition key silences the WindowExec
+    # "No Partition Defined" warning (r4 verdict item 7)
+    w = W.partitionBy(F.lit(0)).orderBy("skey", "doc_id")
     return top.select(
         F.row_number().over(w).cast("long").alias("sample_rank"),
         "doc_id",
