@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .extract import KERNEL_VERSION, extract_document
+from .tableformat import FORMAT, TOMBSTONE
 
 SPANS_DDL = (
     "array<struct<region_id:int,cls:int,name:string,conf:double,"
@@ -183,113 +184,31 @@ def extract_pages(
 # ---------------------------------------------------------------------------
 
 
+# Storage concerns (data/manifest layout, commit, tombstone, reconcile,
+# snapshot-staleness) live behind the TableFormat seam — see
+# tableformat.py for the 1:1 mapping of each operation to the real
+# Iceberg call a production deployment swaps in.  The thin wrappers
+# below keep the historical pipeline API.
+
+
 def _manifest_path(output_path: str) -> str:
-    return os.path.join(output_path, "_manifest")
+    return FORMAT.manifest_path(output_path)
 
 
 def _lineage_path(output_path: str) -> str:
-    return os.path.join(output_path, "_lineage")
+    return FORMAT.lineage_path(output_path)
 
 
 def data_path(output_path: str) -> str:
-    return os.path.join(output_path, "data")
-
-
-#: manifest kernel_version marker for a bucket whose data partition was
-#: deleted (all its urls removed by an incremental update).  The analog
-#: of an Iceberg delete-file entry: the append-only manifest stays
-#: append-only, and liveness is decided by the NEWEST row per bucket.
-TOMBSTONE = "__deleted__"
-
-
-def _append_manifest(
-    spark: SparkSession, output_path: str, rows: list[tuple[int, str]]
-) -> None:
-    """Append (part_id, kernel_version) manifest rows stamped with a
-    monotone ``seq`` (driver wall clock — one driver, one clock) so a
-    tombstone can supersede earlier commit rows and a re-commit can
-    supersede the tombstone."""
-    if not rows:
-        return
-    now = time.time()
-    spark.createDataFrame(
-        [(p, v, now) for p, v in rows],
-        schema="part_id int, kernel_version string, seq double",
-    ).write.mode("append").parquet(_manifest_path(output_path))
-
-
-def _read_manifest(spark: SparkSession, output_path: str) -> DataFrame | None:
-    """Manifest rows with schema evolution handled: rows written before
-    round 5 predate the ``seq`` column; mergeSchema surfaces them with
-    seq = null, coalesced to 0.0 (older than any stamped row)."""
-    try:
-        df = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(_manifest_path(output_path))
-        )
-    except Exception:
-        return None
-    if "seq" not in df.columns:
-        df = df.withColumn("seq", F.lit(0.0))
-    return df.withColumn("seq", F.coalesce(F.col("seq"), F.lit(0.0)))
-
-
-def _latest_manifest_rows(m: DataFrame, version: str) -> DataFrame:
-    """(part_id, kernel_version) of each bucket's NEWEST manifest row.
-    Tie-break (possible only among pre-seq legacy rows, which contain
-    no tombstones): prefer the current kernel version, preserving the
-    legacy ``stale_buckets`` semantics of "current row present => not
-    stale"."""
-    order = F.struct(
-        F.col("seq"),
-        (F.col("kernel_version") == F.lit(version)).cast("int"),
-    )
-    return m.groupBy("part_id").agg(
-        F.max_by("kernel_version", order).alias("kernel_version")
-    )
+    return FORMAT.data_path(output_path)
 
 
 def completed_buckets(spark: SparkSession, output_path: str) -> DataFrame | None:
-    """Buckets with data committed and not since tombstoned.  Resume
-    anti-joins against this, so an emptied-then-re-added bucket is
-    correctly re-extracted rather than skipped."""
-    m = _read_manifest(spark, output_path)
-    if m is None:
-        return None
-    return (
-        _latest_manifest_rows(m, KERNEL_VERSION)
-        .filter(F.col("kernel_version") != TOMBSTONE)
-        .select("part_id")
-    )
+    return FORMAT.committed_buckets(spark, output_path, KERNEL_VERSION)
 
 
 def _reconcile_orphans(spark: SparkSession, output_path: str) -> list[int]:
-    """Close the crash window between data commit and manifest commit:
-    a job killed after ``data`` was written but before the manifest row
-    landed would otherwise reprocess those buckets on resume and
-    duplicate rows.  On start we delete any data partition directory
-    whose bucket is NOT in the manifest (idempotent repair — the bucket
-    is then re-extracted deterministically).  With a real Iceberg
-    catalog, data + manifest share one atomic snapshot commit and this
-    step disappears."""
-    import shutil  # noqa: PLC0415
-
-    dp = data_path(output_path)
-    if not os.path.isdir(dp):
-        return []
-    done = completed_buckets(spark, output_path)
-    done_ids = (
-        {r["part_id"] for r in done.collect()} if done is not None else set()
-    )
-    orphans = []
-    for name in os.listdir(dp):
-        if not name.startswith("part_id="):
-            continue
-        pid = int(name.split("=", 1)[1])
-        if pid not in done_ids:
-            shutil.rmtree(os.path.join(dp, name), ignore_errors=True)
-            orphans.append(pid)
-    return sorted(orphans)
+    return FORMAT.reconcile(spark, output_path)
 
 
 LINEAGE_DDL = (
@@ -394,9 +313,7 @@ def run_extraction_job(
     n_docs = sum(r["n_docs"] for r in lineage_rows)
     processed = sorted({p for r in lineage_rows for p in r["part_ids"]})
     _write_lineage(spark, lineage_rows, output_path)
-    _append_manifest(
-        spark, output_path, [(p, KERNEL_VERSION) for p in processed]
-    )
+    FORMAT.commit_buckets(spark, output_path, processed, KERNEL_VERSION)
     return {
         "n_docs": n_docs,
         "n_buckets_processed": len(processed),
@@ -447,15 +364,7 @@ def stale_buckets(
     what the new code would change, not the whole corpus).  Tombstoned
     buckets (emptied by an incremental removal) are NOT stale — they
     have no data to upgrade."""
-    m = _read_manifest(spark, output_path)
-    if m is None:
-        return []
-    stale = (
-        _latest_manifest_rows(m, version)
-        .filter(~F.col("kernel_version").isin(version, TOMBSTONE))
-        .collect()
-    )
-    return sorted(r["part_id"] for r in stale)
+    return FORMAT.stale_buckets(spark, output_path, version)
 
 
 def reprocess_stale_buckets(
@@ -492,9 +401,7 @@ def reprocess_stale_buckets(
     lineage_rows = _dedup_lineage(lineage_acc.value)
     n_docs = sum(r["n_docs"] for r in lineage_rows)
     _write_lineage(spark, lineage_rows, output_path)
-    _append_manifest(
-        spark, output_path, [(p, KERNEL_VERSION) for p in stale]
-    )
+    FORMAT.commit_buckets(spark, output_path, stale, KERNEL_VERSION)
     return {"n_docs": n_docs, "n_buckets_reprocessed": len(stale)}
 
 
@@ -537,8 +444,6 @@ def run_incremental_job(
     Cost at crawl scale: one url-hash join (the diff) + extraction
     proportional to CHANGED content, not corpus size — the whole point
     of incremental ingestion at 10^12 documents."""
-    import shutil  # noqa: PLC0415
-
     # persisted: the status counts and the affected-bucket collect
     # both consume the diff, and the full-outer md5 join over two
     # snapshots is the dominant non-extraction cost at crawl scale —
@@ -591,20 +496,16 @@ def run_incremental_job(
         r["part_id"]
         for r in bucketed.select("part_id").distinct().collect()
     }
-    for p in stale:
-        if p not in live:
-            shutil.rmtree(
-                os.path.join(data_path(output_path), f"part_id={p}"),
-                ignore_errors=True,
-            )
+    emptied = [p for p in stale if p not in live]
+    for p in emptied:
+        FORMAT.delete_partition_dir(output_path, p)
     lineage_rows = _dedup_lineage(lineage_acc.value)
     result["n_docs"] = sum(r["n_docs"] for r in lineage_rows)
     _write_lineage(spark, lineage_rows, output_path)
-    _append_manifest(
-        spark,
-        output_path,
-        [(p, KERNEL_VERSION if p in live else TOMBSTONE) for p in stale],
+    FORMAT.commit_buckets(
+        spark, output_path, [p for p in stale if p in live], KERNEL_VERSION
     )
+    FORMAT.tombstone_buckets(spark, output_path, emptied)
     return result
 
 

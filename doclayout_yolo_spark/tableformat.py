@@ -1,0 +1,220 @@
+"""Table-format seam: the five storage operations the extraction
+pipeline needs from its output table, implemented here as a
+parquet+manifest EMULATION (this sandbox ships no Iceberg runtime jar)
+and documented 1:1 against the Iceberg calls a real deployment swaps
+in.  pipeline.py holds only orchestration; everything that a catalog
+would own lives behind this class, so adopting Iceberg deletes this
+file's bodies, not the pipeline (r4 verdict item 8).
+
+Emulation -> Iceberg mapping (Iceberg 1.x Java/Spark API):
+
+===========================  ==============================================
+emulation (this class)       real Iceberg call
+===========================  ==============================================
+``commit_buckets``           ``table.newAppend().appendFile(...).commit()``
+                             / for reprocess: ``newOverwrite()...commit()``
+                             — ONE atomic snapshot covering data files AND
+                             metadata; the emulation's separate data-write
+                             + manifest-append is why ``reconcile`` exists
+``tombstone_buckets``        ``table.newDelete().deleteFromRowFilter(
+                             Expressions.equal("part_id", p)).commit()`` —
+                             a delete-files snapshot; the emulation appends
+                             a ``__deleted__`` manifest row and removes the
+                             partition directory
+``committed_buckets``        ``table.currentSnapshot()`` + partition
+                             metadata table (``table.partitions``): which
+                             partitions exist in the current snapshot
+``stale_buckets``            snapshot summary / partition metadata query on
+                             a ``kernel_version`` write property — Iceberg
+                             snapshot-evolution: reprocess only partitions
+                             stamped by an older writer
+``reconcile``                DISAPPEARS: data+metadata commit atomically in
+                             Iceberg, there is no crash window between
+                             them.  (The related maintenance action is
+                             ``SparkActions.deleteOrphanFiles``, which
+                             removes files no snapshot references.)
+===========================  ==============================================
+
+The manifest is an append-only parquet dir of
+``(part_id, kernel_version, seq)`` rows; a bucket's NEWEST row decides
+liveness (a ``__deleted__`` tombstone supersedes earlier commits, a
+re-commit supersedes the tombstone) — exactly the role of Iceberg's
+snapshot log, linearized by the driver-side ``seq`` stamp instead of a
+catalog's atomic swap.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: manifest kernel_version marker for a bucket whose data partition was
+#: deleted (all its urls removed by an incremental update).  The analog
+#: of an Iceberg delete-files snapshot entry.
+TOMBSTONE = "__deleted__"
+
+
+class ParquetManifestFormat:
+    """The sandbox table format: hash-bucketed parquet partitions under
+    ``<table>/data`` + the append-only manifest under
+    ``<table>/_manifest`` (+ the lineage side table)."""
+
+    # -- paths ------------------------------------------------------------
+    def data_path(self, table_path: str) -> str:
+        return os.path.join(table_path, "data")
+
+    def manifest_path(self, table_path: str) -> str:
+        return os.path.join(table_path, "_manifest")
+
+    def lineage_path(self, table_path: str) -> str:
+        return os.path.join(table_path, "_lineage")
+
+    # -- manifest I/O ------------------------------------------------------
+    def _append_manifest(
+        self, spark: SparkSession, table_path: str,
+        rows: list[tuple[int, str]],
+    ) -> None:
+        """Append (part_id, kernel_version) rows stamped with a monotone
+        ``seq`` (driver wall clock — one driver, one clock) so a
+        tombstone can supersede earlier commit rows and a re-commit can
+        supersede the tombstone."""
+        if not rows:
+            return
+        now = time.time()
+        spark.createDataFrame(
+            [(p, v, now) for p, v in rows],
+            schema="part_id int, kernel_version string, seq double",
+        ).write.mode("append").parquet(self.manifest_path(table_path))
+
+    def read_manifest(
+        self, spark: SparkSession, table_path: str
+    ) -> DataFrame | None:
+        """Manifest rows with schema evolution handled: rows written
+        before round 5 predate the ``seq`` column; mergeSchema surfaces
+        them with seq = null, coalesced to 0.0 (older than any stamped
+        row)."""
+        try:
+            df = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(self.manifest_path(table_path))
+            )
+        except Exception:
+            return None
+        if "seq" not in df.columns:
+            df = df.withColumn("seq", F.lit(0.0))
+        return df.withColumn("seq", F.coalesce(F.col("seq"), F.lit(0.0)))
+
+    @staticmethod
+    def _latest_rows(m: DataFrame, version: str) -> DataFrame:
+        """(part_id, kernel_version) of each bucket's NEWEST manifest
+        row.  Tie-break (possible only among pre-seq legacy rows, which
+        contain no tombstones): prefer the current kernel version,
+        preserving the legacy ``stale_buckets`` semantics of "current
+        row present => not stale"."""
+        order = F.struct(
+            F.col("seq"),
+            (F.col("kernel_version") == F.lit(version)).cast("int"),
+        )
+        return m.groupBy("part_id").agg(
+            F.max_by("kernel_version", order).alias("kernel_version")
+        )
+
+    # -- the five seam operations -----------------------------------------
+    def commit_buckets(
+        self, spark: SparkSession, table_path: str,
+        part_ids: list[int], version: str,
+    ) -> None:
+        """Record ``part_ids`` as committed by ``version`` (Iceberg:
+        the metadata half of one atomic append/overwrite snapshot)."""
+        self._append_manifest(
+            spark, table_path, [(p, version) for p in part_ids]
+        )
+
+    def tombstone_buckets(
+        self, spark: SparkSession, table_path: str, part_ids: list[int]
+    ) -> None:
+        """Record ``part_ids`` as deleted (Iceberg: a delete-files
+        snapshot).  Data directories are removed separately by the
+        caller — in Iceberg both halves are one commit."""
+        self._append_manifest(
+            spark, table_path, [(p, TOMBSTONE) for p in part_ids]
+        )
+
+    def committed_buckets(
+        self, spark: SparkSession, table_path: str, version: str
+    ) -> DataFrame | None:
+        """Buckets with data committed and not since tombstoned
+        (Iceberg: current-snapshot partition listing).  Resume
+        anti-joins against this, so an emptied-then-re-added bucket is
+        correctly re-extracted rather than skipped."""
+        m = self.read_manifest(spark, table_path)
+        if m is None:
+            return None
+        return (
+            self._latest_rows(m, version)
+            .filter(F.col("kernel_version") != TOMBSTONE)
+            .select("part_id")
+        )
+
+    def stale_buckets(
+        self, spark: SparkSession, table_path: str, version: str
+    ) -> list[int]:
+        """Buckets whose newest manifest row was written by an OLDER
+        kernel (Iceberg: partition metadata filtered on a writer-version
+        snapshot property).  Tombstoned buckets are NOT stale — they
+        have no data to upgrade."""
+        m = self.read_manifest(spark, table_path)
+        if m is None:
+            return []
+        stale = (
+            self._latest_rows(m, version)
+            .filter(~F.col("kernel_version").isin(version, TOMBSTONE))
+            .collect()
+        )
+        return sorted(r["part_id"] for r in stale)
+
+    def reconcile(self, spark: SparkSession, table_path: str) -> list[int]:
+        """Close the crash window between data commit and manifest
+        commit: delete any data partition directory whose bucket is NOT
+        live in the manifest (idempotent repair — the bucket is then
+        re-extracted deterministically).  With a real Iceberg catalog
+        data + metadata share one atomic snapshot commit and this step
+        DISAPPEARS (the related maintenance is deleteOrphanFiles)."""
+        import shutil  # noqa: PLC0415
+
+        dp = self.data_path(table_path)
+        if not os.path.isdir(dp):
+            return []
+        # version string is irrelevant for liveness here (any non-
+        # tombstone newest row means committed); reuse a fixed label
+        done = self.committed_buckets(spark, table_path, version="")
+        done_ids = (
+            {r["part_id"] for r in done.collect()} if done is not None else set()
+        )
+        orphans = []
+        for name in os.listdir(dp):
+            if not name.startswith("part_id="):
+                continue
+            pid = int(name.split("=", 1)[1])
+            if pid not in done_ids:
+                shutil.rmtree(os.path.join(dp, name), ignore_errors=True)
+                orphans.append(pid)
+        return sorted(orphans)
+
+    def delete_partition_dir(self, table_path: str, part_id: int) -> None:
+        """Remove one bucket's data directory (the file-removal half of
+        a delete snapshot; pair with ``tombstone_buckets``)."""
+        import shutil  # noqa: PLC0415
+
+        shutil.rmtree(
+            os.path.join(self.data_path(table_path), f"part_id={part_id}"),
+            ignore_errors=True,
+        )
+
+
+#: the pipeline's table format.  A real deployment swaps this instance
+#: for an Iceberg-backed implementation of the same five operations.
+FORMAT = ParquetManifestFormat()
