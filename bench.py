@@ -54,6 +54,8 @@ HEADLINE = [
     "corpus_curation_v3",
     "extract_pdf_pages_cid",
     "lang_id_v2",
+    "simhash64_sig_pairs",
+    "extract_pages_charsets",
 ]
 
 N_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000"))

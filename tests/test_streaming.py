@@ -290,7 +290,7 @@ def test_streaming_session_windows(spark, tmp_path_factory):
 
 
 def test_quarantine_wrapper(monkeypatch):
-    def boom(raw):
+    def boom(raw, stage_acc=None):
         raise ValueError("poisoned document")
 
     monkeypatch.setattr(pl, "extract_document", boom)
