@@ -174,14 +174,16 @@ _WINANSI_TABLE = [
 class _Font:
     """Per-font decode behavior resolved from the page's /Resources:
     a /ToUnicode CMap (CID fonts — the encoding real-world Word/LaTeX
-    PDFs overwhelmingly use) and/or a simple-font /Encoding."""
+    PDFs overwhelmingly use) and/or a simple-font /Encoding, including
+    /Differences remap arrays (ISO 32000-1 §9.6.6.3)."""
 
-    __slots__ = ("cmap", "code_bytes", "winansi")
+    __slots__ = ("cmap", "code_bytes", "winansi", "diffs")
 
-    def __init__(self, cmap=None, code_bytes=1, winansi=False):
+    def __init__(self, cmap=None, code_bytes=1, winansi=False, diffs=None):
         self.cmap = cmap
         self.code_bytes = code_bytes
         self.winansi = winansi
+        self.diffs = diffs
 
     def decode(self, data: bytes) -> str:
         if self.cmap is not None:
@@ -200,6 +202,14 @@ class _Font:
                     got = "�" if 0xD800 <= code <= 0xDFFF else chr(code)
                 out.append(got)
             return "".join(out)
+        if self.diffs:
+            base = (
+                _WINANSI_TABLE
+                if self.winansi
+                else [chr(c) for c in range(256)]
+            )
+            d = self.diffs
+            return "".join(d.get(c) or base[c] for c in data)
         if self.winansi:
             return "".join(_WINANSI_TABLE[c] for c in data)
         return data.decode("latin-1")
@@ -304,6 +314,123 @@ _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
 _WINANSI_RE = re.compile(rb"/Encoding\s*/WinAnsiEncoding\b")
 
+# ---------------------------------------------------------------------------
+# simple-font /Encoding dicts with /Differences (ISO 32000-1 §9.6.6.3):
+# [ code /name /name ... code /name ... ] — integers set the next code,
+# names assign consecutive codes.  Glyph names resolve through the
+# Adobe Glyph List conventions: a literal AGL subset (ASCII names,
+# Windows/Latin-1 specials), single-character names, and the
+# algorithmic uniXXXX / uXXXX[XX] forms.
+# ---------------------------------------------------------------------------
+
+_DIFFS_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
+_DIFF_TOK_RE = re.compile(rb"(\d+)|/([A-Za-z0-9._]+)")
+
+_AGL: dict[str, str] = {
+    # ASCII
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # Windows specials (cp1252 upper region)
+    "Euro": "€", "quotesinglbase": "‚", "florin": "ƒ",
+    "quotedblbase": "„", "ellipsis": "…", "dagger": "†",
+    "daggerdbl": "‡", "circumflex": "ˆ",
+    "perthousand": "‰", "Scaron": "Š",
+    "guilsinglleft": "‹", "OE": "Œ", "Zcaron": "Ž",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "bullet": "•", "endash": "–", "emdash": "—",
+    "tilde": "˜", "trademark": "™", "scaron": "š",
+    "guilsinglright": "›", "oe": "œ", "zcaron": "ž",
+    "Ydieresis": "Ÿ",
+    # Latin-1 supplement
+    "exclamdown": "\xa1", "cent": "\xa2", "sterling": "\xa3",
+    "currency": "\xa4", "yen": "\xa5", "brokenbar": "\xa6",
+    "section": "\xa7", "dieresis": "\xa8", "copyright": "\xa9",
+    "ordfeminine": "\xaa", "guillemotleft": "\xab",
+    "logicalnot": "\xac", "registered": "\xae", "macron": "\xaf",
+    "degree": "\xb0", "plusminus": "\xb1", "acute": "\xb4",
+    "mu": "\xb5", "paragraph": "\xb6", "periodcentered": "\xb7",
+    "cedilla": "\xb8", "ordmasculine": "\xba",
+    "guillemotright": "\xbb", "onequarter": "\xbc", "onehalf": "\xbd",
+    "threequarters": "\xbe", "questiondown": "\xbf",
+    "Agrave": "\xc0", "Aacute": "\xc1", "Acircumflex": "\xc2",
+    "Atilde": "\xc3", "Adieresis": "\xc4", "Aring": "\xc5",
+    "AE": "\xc6", "Ccedilla": "\xc7", "Egrave": "\xc8",
+    "Eacute": "\xc9", "Ecircumflex": "\xca", "Edieresis": "\xcb",
+    "Igrave": "\xcc", "Iacute": "\xcd", "Icircumflex": "\xce",
+    "Idieresis": "\xcf", "Eth": "\xd0", "Ntilde": "\xd1",
+    "Ograve": "\xd2", "Oacute": "\xd3", "Ocircumflex": "\xd4",
+    "Otilde": "\xd5", "Odieresis": "\xd6", "multiply": "\xd7",
+    "Oslash": "\xd8", "Ugrave": "\xd9", "Uacute": "\xda",
+    "Ucircumflex": "\xdb", "Udieresis": "\xdc", "Yacute": "\xdd",
+    "Thorn": "\xde", "germandbls": "\xdf", "agrave": "\xe0",
+    "aacute": "\xe1", "acircumflex": "\xe2", "atilde": "\xe3",
+    "adieresis": "\xe4", "aring": "\xe5", "ae": "\xe6",
+    "ccedilla": "\xe7", "egrave": "\xe8", "eacute": "\xe9",
+    "ecircumflex": "\xea", "edieresis": "\xeb", "igrave": "\xec",
+    "iacute": "\xed", "icircumflex": "\xee", "idieresis": "\xef",
+    "eth": "\xf0", "ntilde": "\xf1", "ograve": "\xf2",
+    "oacute": "\xf3", "ocircumflex": "\xf4", "otilde": "\xf5",
+    "odieresis": "\xf6", "divide": "\xf7", "oslash": "\xf8",
+    "ugrave": "\xf9", "uacute": "\xfa", "ucircumflex": "\xfb",
+    "udieresis": "\xfc", "yacute": "\xfd", "thorn": "\xfe",
+    "ydieresis": "\xff",
+}
+
+
+def _glyph_to_unicode(name: str) -> str:
+    """AGL-convention glyph name -> text (U+FFFD when unknown; lone
+    surrogates are never emitted — Arrow serialization safety, same
+    pin as the CID path)."""
+    if len(name) == 1:
+        return name
+    got = _AGL.get(name)
+    if got is not None:
+        return got
+    if name.startswith("uni") and len(name) >= 7 and (len(name) - 3) % 4 == 0:
+        try:
+            cps = [
+                int(name[i : i + 4], 16) for i in range(3, len(name), 4)
+            ]
+            return "".join(
+                "�" if 0xD800 <= c <= 0xDFFF else chr(c) for c in cps
+            )
+        except ValueError:
+            pass
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            c = int(name[1:], 16)
+            if c <= 0x10FFFF and not 0xD800 <= c <= 0xDFFF:
+                return chr(c)
+        except ValueError:
+            pass
+    return "�"
+
+
+def _parse_differences(enc_dict: bytes) -> dict[int, str] | None:
+    m = _DIFFS_RE.search(enc_dict)
+    if m is None:
+        return None
+    out: dict[int, str] = {}
+    code = 0
+    for num, name in _DIFF_TOK_RE.findall(m.group(1)):
+        if num:
+            code = int(num)
+        else:
+            if 0 <= code <= 255:
+                out[code] = _glyph_to_unicode(name.decode("latin-1"))
+            code += 1
+    return out or None
+
 
 def _font_map_for_page(
     page_body: bytes,
@@ -337,10 +464,22 @@ def _font_map_for_page(
         if cmap is None and _TYPE0_RE.search(fbody):
             # Identity-H without ToUnicode: 2-byte codes = code points
             cmap, width = {}, 2
+        # /Encoding: either the bare /WinAnsiEncoding name or an
+        # encoding DICT (inline or indirect) carrying /BaseEncoding
+        # and/or a /Differences remap array
+        winansi = _WINANSI_RE.search(fbody) is not None
+        diffs = None
+        enc = _dict_region(fbody, b"Encoding")
+        if isinstance(enc, int):
+            enc = dict_objs.get(enc)
+        if isinstance(enc, bytes):
+            winansi = winansi or b"/WinAnsiEncoding" in enc
+            diffs = _parse_differences(enc)
         out[name] = _Font(
             cmap=cmap,
             code_bytes=width,
-            winansi=_WINANSI_RE.search(fbody) is not None,
+            winansi=winansi,
+            diffs=diffs,
         )
     return out
 
@@ -639,6 +778,9 @@ def _show_ops(
     if style == "winansi":
         safe = text.encode("cp1252", "replace").decode("latin-1")
         return f"{head} ({_escape(safe)}) Tj ET"
+    if style == "diffenc":
+        # literal string of /Differences-remapped single-byte codes
+        return f"{head} ({_escape(enc(text))}) Tj ET"
     if style == "Tstar":
         words = text.split(" ")
         body = f" ({_escape(words[0])}) Tj"
@@ -734,6 +876,29 @@ def build_pdf_pages(
     n = len(pages)
     enc = None
     tounicode: bytes | None = None
+    diff_array: str | None = None
+    if style == "diffenc":
+        # every distinct char gets a remapped single-byte code (33+)
+        # declared through an /Encoding /Differences array — the
+        # simple-font remap real subset-embedding writers emit
+        chars = sorted({c for texts in pages for t, *_ in texts for c in t})
+        if len(chars) > 222:
+            raise ValueError("diffenc fixture writer: >222 distinct chars")
+        code_of2 = {c: 33 + i for i, c in enumerate(chars)}
+
+        def enc(s, _m=code_of2):
+            return "".join(chr(_m[c]) for c in s)
+
+        def _name_of(c: str) -> str:
+            if c.isascii() and (c.isalpha() or c.isdigit()):
+                return c if c.isalpha() else (
+                    "zero one two three four five six seven eight nine"
+                    .split()[int(c)]
+                )
+            cp = ord(c)
+            return f"u{cp:06X}" if cp > 0xFFFF else f"uni{cp:04X}"
+
+        diff_array = "33 " + " ".join(f"/{_name_of(c)}" for c in chars)
     if style == "cid":
         chars = sorted({c for texts in pages for t, *_ in texts for c in t if c != " "})
         code_of = {c: i + 1 for i, c in enumerate(chars)}
@@ -762,6 +927,12 @@ def build_pdf_pages(
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
             b" /Encoding /WinAnsiEncoding >>"
         )
+    elif style == "diffenc":
+        font_dict = (
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            " /Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding"
+            f" /Differences [{diff_array}] >> >>"
+        ).encode("latin-1")
     else:
         font_dict = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 

@@ -96,7 +96,7 @@ def test_hex_string_show_operator():
     assert blocks[0].text == "Hello world"
 
 
-@pytest.mark.parametrize("style", ["TJ", "Tstar", "hex", "hexTJ", "winansi", "cid"])
+@pytest.mark.parametrize("style", ["TJ", "Tstar", "hex", "hexTJ", "winansi", "cid", "diffenc"])
 @pytest.mark.parametrize("compress", [False, True])
 def test_show_operator_styles_equal_plain(style, compress):
     # word-per-segment TJ arrays (kerned) and TL/T* line advances must
@@ -429,3 +429,46 @@ def test_encrypted_pdf_quarantines_with_distinct_reason():
     )
     text2, _, _, err2 = _extract_one("u", corrupt)
     assert text2 == "" and err2 is None
+
+
+def test_differences_encoding_remap_roundtrip():
+    """Simple-font /Encoding /Differences (§9.6.6.3): remapped codes
+    decode through AGL names, uniXXXX, non-BMP uXXXXXX; unknown glyph
+    names degrade to U+FFFD; codes NOT in Differences fall back to the
+    /BaseEncoding."""
+    from doclayout_yolo_spark.pdf import (
+        _glyph_to_unicode,
+        _parse_differences,
+        build_pdf,
+        parse_pdf_blocks,
+    )
+
+    exotic = "café €9.50 “quoted” — 中文 🚀 end"
+    raw = build_pdf(
+        [("Title X", 24.0, 60.0, 80.0), (exotic, 12.0, 60.0, 150.0)],
+        style="diffenc",
+    )
+    blocks, _, _ = parse_pdf_blocks(raw)
+    assert [b.text for b in blocks] == ["Title X", exotic]
+    # a parser that ignored /Differences would read shifted bytes:
+    assert b"(Title X)" not in raw  # the codes really are remapped
+
+    d = _parse_differences(
+        b"<< /Differences [128 /Euro /eacute 200 /uni4E2D /u01F680"
+        b" /mysteryglyph /zero /A] >>"
+    )
+    assert d == {128: "€", 129: "é", 200: "中", 201: "🚀",
+                 202: "�", 203: "0", 204: "A"}
+    # surrogate-range uni names must never emit lone surrogates
+    assert _glyph_to_unicode("uniD800") == "�"
+    assert _glyph_to_unicode("emdash") == "—"
+    assert _glyph_to_unicode("x") == "x"
+
+
+def test_differences_partial_remap_uses_base_encoding():
+    # only SOME codes remapped: the rest decode via WinAnsi base
+    from doclayout_yolo_spark.pdf import _Font
+
+    f = _Font(winansi=True, diffs={0x80: "X"})
+    # 0x80 remapped; 0x93 falls through to WinAnsi (U+201C)
+    assert f.decode(b"\x80a\x93") == "Xa“"
