@@ -306,7 +306,15 @@ _META_CHARSET_RE = re.compile(
 
 
 def sniff_charset(raw: bytes) -> str:
-    """Python codec name for an HTML byte payload (never raises)."""
+    """Python codec name for an HTML byte payload (never raises).
+    Returns ``""`` for the undeclared case — the caller then tries
+    strict UTF-8 and falls back to cp1252, the WHATWG default legacy
+    encoding for unlabeled content: a large share of real undeclared
+    Common-Crawl pages are cp1252/latin-1, and utf-8/replace would
+    mangle every non-ASCII byte in them.  (cp1252 decodes any byte
+    sequence, so the fallback never raises; genuinely-UTF-8 pages are
+    caught by the strict pass first — random cp1252 text is almost
+    never valid multi-byte UTF-8.)"""
     if raw.startswith(b"\xef\xbb\xbf"):
         return "utf-8-sig"
     if raw.startswith(b"\xff\xfe") or raw.startswith(b"\xfe\xff"):
@@ -315,11 +323,18 @@ def sniff_charset(raw: bytes) -> str:
     if m is not None:
         label = m.group(1).decode("ascii", "replace").lower()
         return _CHARSET_ALIASES.get(label, "utf-8")
-    return "utf-8"
+    return ""
 
 
 def decode_html(raw: bytes | bytearray) -> str:
-    return bytes(raw).decode(sniff_charset(bytes(raw)), errors="replace")
+    raw = bytes(raw)
+    codec = sniff_charset(raw)
+    if codec:
+        return raw.decode(codec, errors="replace")
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("cp1252", errors="replace")
 
 
 # tokenizer: comments / doctype / closing tag / opening tag.  Quoted

@@ -160,13 +160,29 @@ def test_sniff_charset_bom_and_meta():
     )
     assert sniff_charset(b"<meta charset='gb2312'>") == "gbk"
     assert sniff_charset(b"<meta charset=KOI8-R>") == "koi8-r"
-    assert sniff_charset(b"<html><p>nothing declared</p>") == "utf-8"
+    # undeclared -> "" (caller tries strict utf-8, then cp1252)
+    assert sniff_charset(b"<html><p>nothing declared</p>") == ""
     # unknown label and ASCII-bytes utf-16 claim both degrade to utf-8
     assert sniff_charset(b"<meta charset=x-mystery-enc>") == "utf-8"
     assert sniff_charset(b"<meta charset=utf-16>") == "utf-8"
     # declaration OUTSIDE the 1024-byte prescan window is ignored
     late = b"<html><head>" + b" " * 1100 + b'<meta charset="gbk"></head>'
-    assert sniff_charset(late) == "utf-8"
+    assert sniff_charset(late) == ""
+
+
+def test_undeclared_cp1252_falls_back_cleanly():
+    """No BOM, no meta: strict utf-8 first (valid utf-8 wins), then
+    cp1252 — the WHATWG default legacy encoding — instead of mangling
+    every non-ASCII byte to U+FFFD."""
+    from doclayout_yolo_spark.extract import decode_html
+
+    legacy = _page("café — naïve résumé, 99¢").encode("cp1252")
+    assert decode_html(legacy) == _page("café — naïve résumé, 99¢")
+    utf8 = _page("日本語 café").encode("utf-8")
+    assert decode_html(utf8) == _page("日本語 café")
+    # truncated utf-8 (invalid) routes to cp1252, never raises
+    broken = _page("x").encode() + bytes([0xE4, 0xB8])
+    assert isinstance(decode_html(broken), str)
 
 
 def test_decode_html_recovers_legacy_encodings():
