@@ -652,6 +652,14 @@ def extract_document(
     from time import perf_counter  # noqa: PLC0415
 
     t0 = perf_counter()
+    if isinstance(html, (bytes, bytearray)) and html[:2] == b"\x1f\x8b":
+        # transparently inflate gzip payloads (crawl archives often
+        # store the raw Content-Encoding: gzip response body); corrupt
+        # gzip raises into the per-doc quarantine wrapper.  Dispatch
+        # (PDF magic, charset sniff) then sees the DECOMPRESSED bytes.
+        import gzip  # noqa: PLC0415
+
+        html = gzip.decompress(bytes(html))
     is_pdf = (isinstance(html, bytes) and html.startswith(b"%PDF-")) or (
         isinstance(html, str) and html.startswith("%PDF-")
     )

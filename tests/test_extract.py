@@ -222,3 +222,26 @@ def test_utf8_pages_unchanged_by_sniffer():
         from doclayout_yolo_spark.extract import decode_html
 
         assert decode_html(html) == html.decode("utf-8", errors="replace")
+
+
+def test_gzip_payloads_inflate_transparently():
+    """Crawl-archive gzip response bodies: the dispatcher inflates
+    \\x1f\\x8b payloads before format routing — HTML and PDF both —
+    and corrupt gzip quarantines (error row), never crashes."""
+    import gzip
+
+    from doclayout_yolo_spark.pdf import build_pdf
+    from doclayout_yolo_spark.pipeline import _extract_one
+
+    html = _page("gzip payload body text").encode()
+    t1, _, _ = extract_document(gzip.compress(html, mtime=0))
+    t2, _, _ = extract_document(html)
+    assert t1 == t2 == "gzip payload body text"
+
+    pdf = build_pdf([("Zipped Pdf Title", 24.0, 60.0, 80.0)])
+    t3, _, _ = extract_document(gzip.compress(pdf, mtime=0))
+    assert t3 == "Zipped Pdf Title"
+
+    corrupt = gzip.compress(html)[:-6] + b"\x00\x00"
+    text, regions, _m, err = _extract_one("u", corrupt)
+    assert text == "" and err is not None
