@@ -406,6 +406,48 @@ def parse_blocks(html: bytes | str) -> list[Block]:
 
 
 # ---------------------------------------------------------------------------
+# outlink extraction (crawl-frontier leg)
+# ---------------------------------------------------------------------------
+
+_A_TAG_RE = re.compile(r"<\s*a\s([^>]*)>", re.I | re.S)
+_HREF_RE = re.compile(
+    r"""\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
+_SKIP_SCHEMES = ("javascript:", "mailto:", "data:", "tel:")
+
+
+def extract_outlinks(url: str, html: bytes | str) -> list[str]:
+    """Resolved outlink urls of a page, in document order — the
+    crawl-frontier extraction every archive pipeline runs next to the
+    content extraction.  hrefs are entity-unescaped and resolved
+    against the page url with stdlib ``urljoin``; fragment-only and
+    non-navigational schemes (javascript/mailto/data/tel) are skipped.
+    Charset handling is shared with the block parser (decode_html).
+    Known simplification: a raw-text region (script) containing a
+    literal ``<a href=...>`` string would match — acceptable for
+    frontier discovery, where a stray candidate link is harmless."""
+    from urllib.parse import urljoin  # noqa: PLC0415
+
+    if isinstance(html, (bytes, bytearray)):
+        html = decode_html(html)
+    out: list[str] = []
+    for m in _A_TAG_RE.finditer(html):
+        hm = _HREF_RE.search(m.group(1))
+        if hm is None:
+            continue
+        href = hm.group(2) or hm.group(3) or hm.group(4) or ""
+        if "&" in href:
+            href = unescape(href)
+        href = href.strip()
+        if not href or href.startswith("#"):
+            continue
+        if href.lower().startswith(_SKIP_SCHEMES):
+            continue
+        out.append(urljoin(url, href))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # 2. deterministic flow layout
 # ---------------------------------------------------------------------------
 

@@ -245,3 +245,37 @@ def test_gzip_payloads_inflate_transparently():
     corrupt = gzip.compress(html)[:-6] + b"\x00\x00"
     text, regions, _m, err = _extract_one("u", corrupt)
     assert text == "" and err is not None
+
+
+def test_extract_outlinks_resolution_and_skips():
+    from doclayout_yolo_spark.extract import extract_outlinks
+
+    u = "https://h.example.org/a/b/page.html"
+    h = b"""<html><body>
+    <a href="https://abs.example.com/x">1</a>
+    <a href='/root.html'>2</a>
+    <a href=bare.html>3</a>
+    <a href="../up.html">4</a>
+    <a href="//proto.example.net/p">5</a>
+    <a href="?q=2">6</a>
+    <a href="#only-fragment">skip</a>
+    <a href="javascript:void(0)">skip</a>
+    <a href="mailto:x@example.com">skip</a>
+    <a name="anchor-no-href">skip</a>
+    <a href="ent.html?a=1&amp;b=2">7</a>
+    </body></html>"""
+    assert extract_outlinks(u, h) == [
+        "https://abs.example.com/x",
+        "https://h.example.org/root.html",
+        "https://h.example.org/a/b/bare.html",
+        "https://h.example.org/a/up.html",
+        "https://proto.example.net/p",
+        "https://h.example.org/a/b/page.html?q=2",
+        "https://h.example.org/a/b/ent.html?a=1&b=2",
+    ]
+    # charset shared with the block parser: cp1252 href survives
+    legacy = '<a href="/café">x</a>'.encode("cp1252")
+    page = b'<html><head><meta charset="windows-1252"></head><body>' + legacy
+    assert extract_outlinks("https://h.example.org/", page) == [
+        "https://h.example.org/caf\xe9"
+    ]
