@@ -299,10 +299,42 @@ _CHARSET_ALIASES: dict[str, str] = {
     "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
 }
 
+# the 'charset' token must begin an attribute-ish position (preceded
+# by whitespace / quote / ';' as in "text/html; charset=x"), so a
+# non-charset attribute like data-charset=... or a value merely
+# containing "...-charset=..." cannot hijack the page codec (r5
+# review finding — confirmed false positive on data-charset)
 _META_CHARSET_RE = re.compile(
-    rb"""<meta[^>]{0,512}?charset\s*=\s*["']?\s*([a-zA-Z0-9._\-]{1,32})""",
+    rb"""<meta[^>]{0,512}?[\s"';]charset\s*=\s*["']?\s*([a-zA-Z0-9._\-]{1,32})""",
     re.I,
 )
+
+#: inflate cap for transparently-gunzipped payloads: past this the
+#: document is a decompression bomb and must QUARANTINE (error row),
+#: not OOM the executor — gzip ratios reach ~1000:1, so a few MB of
+#: hostile input could otherwise materialize tens of GB
+MAX_INFLATED_BYTES = 256 * 1024 * 1024
+
+
+def inflate_if_gzip(raw: bytes | bytearray) -> bytes:
+    """Transparently inflate a gzip payload (crawl archives often
+    store the raw Content-Encoding: gzip response body), bounded by
+    MAX_INFLATED_BYTES via streaming reads; oversize or corrupt gzip
+    raises into the per-doc quarantine wrapper.  Non-gzip bytes pass
+    through untouched."""
+    raw = bytes(raw)
+    if raw[:2] != b"\x1f\x8b":
+        return raw
+    import gzip  # noqa: PLC0415
+    import io  # noqa: PLC0415
+
+    with gzip.GzipFile(fileobj=io.BytesIO(raw)) as gf:
+        out = gf.read(MAX_INFLATED_BYTES + 1)
+        if len(out) > MAX_INFLATED_BYTES:
+            raise ValueError(
+                f"gzip payload inflates past {MAX_INFLATED_BYTES} bytes"
+            )
+    return out
 
 
 def sniff_charset(raw: bytes) -> str:
@@ -410,6 +442,7 @@ def parse_blocks(html: bytes | str) -> list[Block]:
 # ---------------------------------------------------------------------------
 
 _A_TAG_RE = re.compile(r"<\s*a\s([^>]*)>", re.I | re.S)
+_BASE_TAG_RE = re.compile(r"<\s*base\s([^>]*)>", re.I | re.S)
 _HREF_RE = re.compile(
     r"""\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
 )
@@ -419,17 +452,29 @@ _SKIP_SCHEMES = ("javascript:", "mailto:", "data:", "tel:")
 def extract_outlinks(url: str, html: bytes | str) -> list[str]:
     """Resolved outlink urls of a page, in document order — the
     crawl-frontier extraction every archive pipeline runs next to the
-    content extraction.  hrefs are entity-unescaped and resolved
-    against the page url with stdlib ``urljoin``; fragment-only and
+    content extraction.  hrefs are entity-unescaped and resolved with
+    stdlib ``urljoin`` against the page's effective base — the first
+    ``<base href>`` if declared (itself resolved against the page
+    url, per HTML spec), else the page url; fragment-only and
     non-navigational schemes (javascript/mailto/data/tel) are skipped.
-    Charset handling is shared with the block parser (decode_html).
+    gzip and charset handling are shared with the block parser
+    (inflate_if_gzip + decode_html), so archive-stored response bodies
+    yield the same frontier the dispatcher's content path sees.
     Known simplification: a raw-text region (script) containing a
     literal ``<a href=...>`` string would match — acceptable for
     frontier discovery, where a stray candidate link is harmless."""
     from urllib.parse import urljoin  # noqa: PLC0415
 
     if isinstance(html, (bytes, bytearray)):
-        html = decode_html(html)
+        html = decode_html(inflate_if_gzip(html))
+    base = url
+    bm = _BASE_TAG_RE.search(html)
+    if bm is not None:
+        bh = _HREF_RE.search(bm.group(1))
+        if bh is not None:
+            declared = (bh.group(2) or bh.group(3) or bh.group(4) or "").strip()
+            if declared:
+                base = urljoin(url, unescape(declared))
     out: list[str] = []
     for m in _A_TAG_RE.finditer(html):
         hm = _HREF_RE.search(m.group(1))
@@ -443,7 +488,7 @@ def extract_outlinks(url: str, html: bytes | str) -> list[str]:
             continue
         if href.lower().startswith(_SKIP_SCHEMES):
             continue
-        out.append(urljoin(url, href))
+        out.append(urljoin(base, href))
     return out
 
 
@@ -694,14 +739,11 @@ def extract_document(
     from time import perf_counter  # noqa: PLC0415
 
     t0 = perf_counter()
-    if isinstance(html, (bytes, bytearray)) and html[:2] == b"\x1f\x8b":
-        # transparently inflate gzip payloads (crawl archives often
-        # store the raw Content-Encoding: gzip response body); corrupt
-        # gzip raises into the per-doc quarantine wrapper.  Dispatch
-        # (PDF magic, charset sniff) then sees the DECOMPRESSED bytes.
-        import gzip  # noqa: PLC0415
-
-        html = gzip.decompress(bytes(html))
+    if isinstance(html, (bytes, bytearray)):
+        # bounded gzip inflate BEFORE dispatch (PDF magic, charset
+        # sniff then see the decompressed bytes); bombs/corruption
+        # raise into the per-doc quarantine wrapper
+        html = inflate_if_gzip(html)
     is_pdf = (isinstance(html, bytes) and html.startswith(b"%PDF-")) or (
         isinstance(html, str) and html.startswith("%PDF-")
     )

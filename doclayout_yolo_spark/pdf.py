@@ -71,14 +71,21 @@ _ENCRYPT_SCAN_TAIL = 8192
 
 
 def is_encrypted_pdf(raw: bytes) -> bool:
+    # classic trailers live at EOF: tail scan suffices
     tail = raw[-_ENCRYPT_SCAN_TAIL:]
     for m in _TRAILER_DICT_RE.finditer(tail):
         if _ENCRYPT_REF_RE.search(m.group(1)):
             return True
-    for m in _FLAT_DICT_RE.finditer(tail):
-        d = m.group(1)
-        if b"/XRef" in d and _ENCRYPT_REF_RE.search(d):
-            return True
+    # xref-STREAM dicts precede their (possibly large) stream data, so
+    # in a many-object PDF they sit far more than 8 KB before EOF (r5
+    # review finding) — scan the whole file, but only when the cheap
+    # substring pre-check fires (absent from virtually every
+    # unencrypted document)
+    if b"/Encrypt" in raw:
+        for m in _FLAT_DICT_RE.finditer(raw):
+            d = m.group(1)
+            if b"/XRef" in d and _ENCRYPT_REF_RE.search(d):
+                return True
     return False
 
 # stream object = dict immediately followed by the stream keyword;
@@ -169,6 +176,7 @@ _WINANSI_TABLE = [
     else bytes([i]).decode("cp1252")
     for i in range(256)
 ]
+_LATIN1_TABLE = [chr(i) for i in range(256)]
 
 
 class _Font:
@@ -203,11 +211,7 @@ class _Font:
                 out.append(got)
             return "".join(out)
         if self.diffs:
-            base = (
-                _WINANSI_TABLE
-                if self.winansi
-                else [chr(c) for c in range(256)]
-            )
+            base = _WINANSI_TABLE if self.winansi else _LATIN1_TABLE
             d = self.diffs
             return "".join(d.get(c) or base[c] for c in data)
         if self.winansi:

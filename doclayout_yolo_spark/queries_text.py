@@ -1202,13 +1202,13 @@ def _simhash64_df(spark, sf_dir):
     return bit_sums.select("doc_id", *cols)
 
 
-def _sim64_bands(spark, sf_dir):
-    """(doc_id, simhash, band, bucket) rows in ONE pass — explode of a
-    band-struct array, not a 10-way union that would re-run the 64-sum
-    aggregation per band.  band t is block-pair (i, j); its bucket key
-    concatenates the two block values (~25-26 bits)."""
-    sim = _simhash64_df(spark, sf_dir)
-    band_structs = F.array(
+def _sim64_band_structs():
+    """The block-pair banding key as ONE array-of-structs expression
+    (band t = block pair (i, j), bucket = b_i | b_j << shift) — the
+    single definition shared by every consumer so the Spark and DuckDB
+    renderings can never drift independently (r5 review finding: this
+    was inlined three times)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(t).alias("band"),
@@ -1220,8 +1220,16 @@ def _sim64_bands(spark, sf_dir):
             for t, (i, j) in enumerate(_SIM64_BLOCK_PAIRS)
         ]
     )
+
+
+def _sim64_bands(spark, sf_dir):
+    """(doc_id, simhash, band, bucket) rows in ONE pass — explode of a
+    band-struct array, not a 10-way union that would re-run the 64-sum
+    aggregation per band.  band t is block-pair (i, j); its bucket key
+    concatenates the two block values (~25-26 bits)."""
+    sim = _simhash64_df(spark, sf_dir)
     return sim.select(
-        "doc_id", "simhash", F.explode(band_structs).alias("bb")
+        "doc_id", "simhash", F.explode(_sim64_band_structs()).alias("bb")
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
 
 
@@ -1390,20 +1398,9 @@ def simhash64_sig_pairs(spark, sf_dir, cap: int = SIG_BUCKET_CAP):
     the emitted signature pairs (the scale bench verifies recall=1.0
     at fixture scale)."""
     sigs = _sim64_sigs(spark, sf_dir)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("band"),
-                (
-                    F.col(f"b{i}")
-                    + F.col(f"b{j}") * F.lit(1 << _SIM64_SHIFT)
-                ).cast("bigint").alias("bucket"),
-            )
-            for t, (i, j) in enumerate(_SIM64_BLOCK_PAIRS)
-        ]
-    )
     bands = sigs.select(
-        "simhash", "n_docs", "rep_doc", F.explode(band_structs).alias("bb")
+        "simhash", "n_docs", "rep_doc",
+        F.explode(_sim64_band_structs()).alias("bb"),
     ).select("simhash", "n_docs", "rep_doc", "bb.band", "bb.bucket")
     wcap = W.partitionBy("band", "bucket").orderBy("rep_doc")
     kept = (
@@ -1528,37 +1525,61 @@ def lsh_bucket_cap_audit(spark, sf_dir):
         .groupBy("band", "h1", "h2")
         .agg(F.count("*").alias("n"))
     )
-    s_sizes = (
-        _sim64_bands(spark, sf_dir)
-        .groupBy("band", "bucket")
-        .agg(F.count("*").alias("n"))
+    # BOTH simhash families from ONE signature aggregation (r5 review
+    # finding: banding docs and sigs separately ran the expensive
+    # 64-sum aggregation twice).  Identical signatures share identical
+    # block values, so a doc-level bucket's size is the sum of n_docs
+    # over the sigs in it, and the (band, bucket) key sets coincide —
+    # one groupBy yields both families' bucket sizes, and the per-band
+    # rollup emits the two family rows from one projection (an
+    # explode, not a union, so the subtree executes once).
+    sig_sizes = (
+        _sim64_sigs(spark, sf_dir)
+        .select("n_docs", F.explode(_sim64_band_structs()).alias("bb"))
+        .groupBy("bb.band", "bb.bucket")
+        .agg(
+            F.sum("n_docs").alias("n_docs_in_bucket"),
+            F.count("*").alias("n_sigs"),
+        )
     )
-    sigs = _sim64_sigs(spark, sf_dir)
-    g_sizes = (
-        sigs.select(
+    sim_rolls = (
+        sig_sizes.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("n_docs_in_bucket").cast("long").alias("max_doc"),
+            F.sum(
+                F.greatest(
+                    F.col("n_docs_in_bucket") - F.lit(BUCKET_CAP), F.lit(0)
+                )
+            ).cast("long").alias("drop_doc"),
+            F.max("n_sigs").cast("long").alias("max_sig"),
+            F.sum(
+                F.greatest(F.col("n_sigs") - F.lit(SIG_BUCKET_CAP), F.lit(0))
+            ).cast("long").alias("drop_sig"),
+        )
+        .select(
             F.explode(
                 F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("band"),
-                            (
-                                F.col(f"b{i}")
-                                + F.col(f"b{j}") * F.lit(1 << _SIM64_SHIFT)
-                            ).cast("bigint").alias("bucket"),
-                        )
-                        for t, (i, j) in enumerate(_SIM64_BLOCK_PAIRS)
-                    ]
+                    F.struct(
+                        F.lit("simhash64").alias("family"),
+                        F.col("band").cast("long").alias("band"),
+                        F.col("n_buckets").alias("n_buckets"),
+                        F.col("max_doc").alias("max_bucket"),
+                        F.col("drop_doc").alias("n_dropped"),
+                    ),
+                    F.struct(
+                        F.lit("simhash64_sig").alias("family"),
+                        F.col("band").cast("long").alias("band"),
+                        F.col("n_buckets").alias("n_buckets"),
+                        F.col("max_sig").alias("max_bucket"),
+                        F.col("drop_sig").alias("n_dropped"),
+                    ),
                 )
-            ).alias("bb")
+            ).alias("r")
         )
-        .groupBy("bb.band", "bb.bucket")
-        .agg(F.count("*").alias("n"))
+        .select("r.*")
     )
-    return (
-        _roll(m_sizes, "minhash", BUCKET_CAP)
-        .unionByName(_roll(s_sizes, "simhash64", BUCKET_CAP))
-        .unionByName(_roll(g_sizes, "simhash64_sig", SIG_BUCKET_CAP))
-    )
+    return _roll(m_sizes, "minhash", BUCKET_CAP).unionByName(sim_rolls)
 
 
 def _cap_audit_roll(cap: int) -> str:

@@ -77,13 +77,21 @@ class ParquetManifestFormat:
         self, spark: SparkSession, table_path: str,
         rows: list[tuple[int, str]],
     ) -> None:
-        """Append (part_id, kernel_version) rows stamped with a monotone
-        ``seq`` (driver wall clock — one driver, one clock) so a
-        tombstone can supersede earlier commit rows and a re-commit can
-        supersede the tombstone."""
+        """Append (part_id, kernel_version) rows stamped with a
+        MONOTONE ``seq``: driver wall clock, floored to strictly above
+        the manifest's current max — a backwards NTP step between a
+        commit and a later tombstone must not let the commit win
+        ``_latest_rows`` (r5 review finding; the clock alone is not
+        monotone).  One tiny manifest read per append — appends are
+        per-JOB events, not per-row."""
         if not rows:
             return
         now = time.time()
+        m = self.read_manifest(spark, table_path)
+        if m is not None:
+            last = m.agg(F.max("seq")).collect()[0][0]
+            if last is not None and now <= last:
+                now = last + 1e-3
         spark.createDataFrame(
             [(p, v, now) for p, v in rows],
             schema="part_id int, kernel_version string, seq double",

@@ -279,3 +279,60 @@ def test_extract_outlinks_resolution_and_skips():
     assert extract_outlinks("https://h.example.org/", page) == [
         "https://h.example.org/caf\xe9"
     ]
+
+
+def test_outlinks_base_href_and_gzip(tmp_path):
+    import gzip
+
+    from doclayout_yolo_spark.extract import extract_outlinks
+
+    # <base href> wins over the page url for relative resolution
+    h = (b'<html><head><base href="https://other.example.com/dir/"></head>'
+         b'<body><a href="x.html">1</a><a href="/root">2</a></body></html>')
+    assert extract_outlinks("https://page.example.org/a/", h) == [
+        "https://other.example.com/dir/x.html",
+        "https://other.example.com/root",
+    ]
+    # relative <base> resolves against the page url first (HTML spec)
+    h2 = (b'<html><head><base href="sub/"></head>'
+          b'<body><a href="y.html">1</a></body></html>')
+    assert extract_outlinks("https://page.example.org/a/", h2) == [
+        "https://page.example.org/a/sub/y.html"
+    ]
+    # gzip-stored response bodies yield the same frontier (r5 review
+    # finding: the frontier leg must share the dispatcher's inflate)
+    raw = b'<html><body><a href="/z">1</a></body></html>'
+    assert extract_outlinks(
+        "https://page.example.org/", gzip.compress(raw, mtime=0)
+    ) == ["https://page.example.org/z"]
+
+
+def test_gzip_bomb_quarantines_not_oom():
+    import gzip
+
+    from doclayout_yolo_spark.extract import MAX_INFLATED_BYTES
+    from doclayout_yolo_spark.pipeline import _extract_one
+
+    bomb = gzip.compress(b"\x00" * (MAX_INFLATED_BYTES + 1024), 9)
+    assert len(bomb) < 2_000_000  # the whole point: tiny input
+    text, _r, _m, err = _extract_one("u", bomb)
+    assert text == "" and err is not None and "inflates past" in err
+
+
+def test_meta_charset_attribute_position_guard():
+    # r5 review finding (confirmed false positive): a non-charset
+    # attribute or value merely CONTAINING 'charset=' must not hijack
+    # the page codec
+    from doclayout_yolo_spark.extract import sniff_charset
+
+    assert sniff_charset(b'<meta name="x" content="data-charset=big5">') == ""
+    assert sniff_charset(b'<meta data-charset="big5">') == ""
+    # the legitimate forms still sniff
+    assert sniff_charset(b'<meta charset="big5">') == "big5"
+    assert (
+        sniff_charset(
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=big5">'
+        )
+        == "big5"
+    )

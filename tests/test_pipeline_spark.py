@@ -271,3 +271,23 @@ def test_observed_metrics_match_lineage(spark, tmp_path_factory):
     assert s["observed_chars"] == total_chars
     s2 = run_extraction_job(spark, pages, out, n_buckets=8)
     assert s2["observed_rows"] == 0 and s2["observed_chars"] == 0
+
+
+def test_manifest_seq_is_monotone_despite_clock(spark, tmp_path_factory):
+    """r5 review finding: a backwards wall-clock step between a commit
+    and a later tombstone must not let the commit out-rank it — seq is
+    floored strictly above the manifest's current max."""
+    from doclayout_yolo_spark.pipeline import FORMAT, completed_buckets
+
+    out = str(tmp_path_factory.mktemp("seq") / "t")
+    future = 4_000_000_000.0  # year ~2096: simulates a clock that ran ahead
+    spark.createDataFrame(
+        [(1, "1.0.0", future)],
+        schema="part_id int, kernel_version string, seq double",
+    ).write.mode("append").parquet(FORMAT.manifest_path(out))
+    # "now" < future, yet the tombstone must supersede the commit
+    FORMAT.tombstone_buckets(spark, out, [1])
+    assert completed_buckets(spark, out).count() == 0
+    # and a re-commit supersedes the tombstone in turn
+    FORMAT.commit_buckets(spark, out, [1], "1.0.0")
+    assert [r["part_id"] for r in completed_buckets(spark, out).collect()] == [1]
