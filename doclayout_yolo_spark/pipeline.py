@@ -510,6 +510,42 @@ def run_incremental_job(
 
 
 # ---------------------------------------------------------------------------
+# crawl-frontier outlinks
+# ---------------------------------------------------------------------------
+
+OUTLINKS_DDL = "url string, link_pos int, target string"
+
+
+def extract_outlinks_df(pages: DataFrame) -> DataFrame:
+    """(url, html) pages -> (url, link_pos, target) frontier rows via
+    the shared outlink extractor (gzip + charset handling identical to
+    the content path).  Map-only — zero shuffle; a poisoned page
+    contributes no links rather than failing the task (P9 parity)."""
+
+    def kern(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from .extract import extract_outlinks  # noqa: PLC0415
+
+        for pdf in batches:
+            urls, pos, tgt = [], [], []
+            for u, h in zip(pdf["url"], pdf["html"]):
+                try:
+                    links = extract_outlinks(
+                        u, bytes(h) if h is not None else b""
+                    )
+                except Exception:  # noqa: BLE001 — quarantine parity
+                    links = []
+                for i, t in enumerate(links):
+                    urls.append(u)
+                    pos.append(i)
+                    tgt.append(t)
+            yield pd.DataFrame({"url": urls, "link_pos": pos, "target": tgt})
+
+    return pages.select("url", "html").mapInPandas(kern, schema=OUTLINKS_DDL)
+
+
+# ---------------------------------------------------------------------------
 # skew-aware host aggregation (salting exemplar, P9)
 # ---------------------------------------------------------------------------
 

@@ -33,12 +33,21 @@ def main() -> None:
         default=None,
         help="generate N seeded fixture pages instead of reading --input",
     )
+    p.add_argument(
+        "--outlinks",
+        default=None,
+        help="also write the crawl frontier (url, link_pos, target) "
+        "parquet to this path",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
 
     from doclayout_yolo_spark.fixtures import generate_pages_df
-    from doclayout_yolo_spark.pipeline import run_extraction_job
+    from doclayout_yolo_spark.pipeline import (
+        extract_outlinks_df,
+        run_extraction_job,
+    )
 
     spark = SparkSession.builder.appName("doclayout-extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -55,6 +64,10 @@ def main() -> None:
         n_buckets=args.buckets,
         num_partitions=args.partitions,
     )
+    if args.outlinks:
+        links = extract_outlinks_df(pages)
+        links.write.mode("overwrite").parquet(args.outlinks)
+        stats["n_outlinks"] = spark.read.parquet(args.outlinks).count()
     print(json.dumps(stats))
     spark.stop()
 
