@@ -474,7 +474,10 @@ def extract_outlinks(url: str, html: bytes | str) -> list[str]:
         if bh is not None:
             declared = (bh.group(2) or bh.group(3) or bh.group(4) or "").strip()
             if declared:
-                base = urljoin(url, unescape(declared))
+                try:
+                    base = urljoin(url, unescape(declared))
+                except ValueError:
+                    pass  # malformed base: keep the page url
     out: list[str] = []
     for m in _A_TAG_RE.finditer(html):
         hm = _HREF_RE.search(m.group(1))
@@ -488,7 +491,12 @@ def extract_outlinks(url: str, html: bytes | str) -> list[str]:
             continue
         if href.lower().startswith(_SKIP_SCHEMES):
             continue
-        out.append(urljoin(base, href))
+        try:
+            out.append(urljoin(base, href))
+        except ValueError:
+            # malformed authority (e.g. an unclosed IPv6 bracket)
+            # raises from urljoin — skip the link, never the page
+            continue
     return out
 
 

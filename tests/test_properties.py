@@ -239,3 +239,53 @@ def test_quarantine_wrapper_never_raises_on_fuzz(raw):
     text.encode("utf-8")  # no lone surrogates -> Arrow-safe
     for r in regions:
         assert text[r.start : r.end] == r.text
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=120, deadline=None)
+def test_sniff_and_decode_never_raise(raw):
+    # charset sniffing + fallback decode are total functions over
+    # arbitrary bytes (r5 surface)
+    from doclayout_yolo_spark.extract import decode_html, sniff_charset
+
+    sniff_charset(raw)
+    out = decode_html(raw)
+    assert isinstance(out, str)
+    out.encode("utf-8")  # Arrow-serializable (no lone surrogates)
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=120, deadline=None)
+def test_outlinks_never_raise_on_garbage(raw):
+    from doclayout_yolo_spark.extract import extract_outlinks
+
+    links = extract_outlinks("https://h.example.org/a/b", raw)
+    assert all(isinstance(x, str) for x in links)
+
+
+def test_outlinks_skip_malformed_authority():
+    # urljoin raises ValueError on an unclosed IPv6 bracket — the link
+    # (or a malformed <base>) is skipped, never the page
+    from doclayout_yolo_spark.extract import extract_outlinks
+
+    h = b'<a href="http://[::1">bad</a><a href="/ok">good</a>'
+    assert extract_outlinks("https://h.example.org/", h) == [
+        "https://h.example.org/ok"
+    ]
+    h2 = b'<base href="http://[broken"><a href="/x">y</a>'
+    assert extract_outlinks("https://h.example.org/", h2) == [
+        "https://h.example.org/x"
+    ]
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=120, deadline=None)
+def test_differences_parse_never_raises(raw):
+    from doclayout_yolo_spark.pdf import _parse_differences, is_encrypted_pdf
+
+    d = _parse_differences(b"<< /Differences [" + raw + b"] >>")
+    if d:
+        for code, ch in d.items():
+            assert 0 <= code <= 255
+            ch.encode("utf-8")  # never a lone surrogate
+    is_encrypted_pdf(raw)  # total over arbitrary bytes
