@@ -299,15 +299,38 @@ _CHARSET_ALIASES: dict[str, str] = {
     "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
 }
 
-# the 'charset' token must begin an attribute-ish position (preceded
-# by whitespace / quote / ';' as in "text/html; charset=x"), so a
-# non-charset attribute like data-charset=... or a value merely
-# containing "...-charset=..." cannot hijack the page codec (r5
-# review finding — confirmed false positive on data-charset)
-_META_CHARSET_RE = re.compile(
-    rb"""<meta[^>]{0,512}?[\s"';]charset\s*=\s*["']?\s*([a-zA-Z0-9._\-]{1,32})""",
+# Per-tag scan following WHATWG's prescan rules: the 'charset' token
+# must begin an attribute-ish position (preceded by whitespace / quote
+# / ';'), so data-charset=... cannot hijack the codec; and a charset
+# label INSIDE a content="..." value is honored only when the same
+# <meta> carries http-equiv (the Content-Type form) — a description
+# meta whose text merely mentions "charset=big5" is ignored (r5
+# review findings, both confirmed by execution).
+_META_TAG_RE = re.compile(rb"<meta([^>]{0,512})>", re.I)
+_CHARSET_ATTR_RE = re.compile(
+    rb"""(?:^|[\s"';])charset\s*=\s*["']?\s*([a-zA-Z0-9._\-]{1,32})""",
     re.I,
 )
+_CONTENT_ATTR_RE = re.compile(
+    rb"""\bcontent\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""", re.I
+)
+_HTTP_EQUIV_RE = re.compile(rb"http-equiv", re.I)
+
+
+def _meta_charset_label(prefix: bytes) -> bytes | None:
+    for tag in _META_TAG_RE.finditer(prefix):
+        attrs = tag.group(1)
+        m = _CHARSET_ATTR_RE.search(attrs)
+        if m is None:
+            continue
+        cm = _CONTENT_ATTR_RE.search(attrs)
+        inside_content = (
+            cm is not None and cm.start(1) <= m.start() < cm.end(1)
+        )
+        if inside_content and _HTTP_EQUIV_RE.search(attrs) is None:
+            continue
+        return m.group(1)
+    return None
 
 #: inflate cap for transparently-gunzipped payloads: past this the
 #: document is a decompression bomb and must QUARANTINE (error row),
@@ -351,10 +374,11 @@ def sniff_charset(raw: bytes) -> str:
         return "utf-8-sig"
     if raw.startswith(b"\xff\xfe") or raw.startswith(b"\xfe\xff"):
         return "utf-16"  # the codec consumes the BOM and picks endianness
-    m = _META_CHARSET_RE.search(raw[:SNIFF_LIMIT])
-    if m is not None:
-        label = m.group(1).decode("ascii", "replace").lower()
-        return _CHARSET_ALIASES.get(label, "utf-8")
+    label = _meta_charset_label(raw[:SNIFF_LIMIT])
+    if label is not None:
+        return _CHARSET_ALIASES.get(
+            label.decode("ascii", "replace").lower(), "utf-8"
+        )
     return ""
 
 
@@ -366,6 +390,14 @@ def decode_html(raw: bytes | bytearray) -> str:
     try:
         return raw.decode("utf-8")
     except UnicodeDecodeError:
+        # isolated corruption on an otherwise-valid UTF-8 page (e.g. a
+        # truncated multi-byte sequence — common crawl artifact) must
+        # NOT flip the whole document to cp1252 mojibake (r5 review
+        # finding): only switch codecs when invalid sequences are
+        # pervasive, i.e. the page is genuinely a legacy encoding.
+        u = raw.decode("utf-8", errors="replace")
+        if u.count("�") <= 2:
+            return u
         return raw.decode("cp1252", errors="replace")
 
 
@@ -441,10 +473,15 @@ def parse_blocks(html: bytes | str) -> list[Block]:
 # outlink extraction (crawl-frontier leg)
 # ---------------------------------------------------------------------------
 
-_A_TAG_RE = re.compile(r"<\s*a\s([^>]*)>", re.I | re.S)
-_BASE_TAG_RE = re.compile(r"<\s*base\s([^>]*)>", re.I | re.S)
+# quoted attribute values may contain '>' (same tolerance as the
+# block tokenizer _TAG_RE), and 'href' must begin an attribute
+# position so data-href/xlink:href can't shadow or fabricate the real
+# target (r5 second-pass review findings)
+_ATTRS = r"""((?:"[^"]*"|'[^']*'|[^>])*)"""
+_A_TAG_RE = re.compile(r"<\s*a\s" + _ATTRS + ">", re.I | re.S)
+_BASE_TAG_RE = re.compile(r"<\s*base\s" + _ATTRS + ">", re.I | re.S)
 _HREF_RE = re.compile(
-    r"""\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+    r"""(?:^|[\s"'])href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
 )
 _SKIP_SCHEMES = ("javascript:", "mailto:", "data:", "tel:")
 
@@ -466,7 +503,14 @@ def extract_outlinks(url: str, html: bytes | str) -> list[str]:
     from urllib.parse import urljoin  # noqa: PLC0415
 
     if isinstance(html, (bytes, bytearray)):
-        html = decode_html(inflate_if_gzip(html))
+        try:
+            html = inflate_if_gzip(html)
+        except Exception:  # noqa: BLE001
+            # corrupt/bomb gzip: a total function for the frontier —
+            # the garbage bytes simply yield no links (the CONTENT
+            # path quarantines the same document with an error row)
+            html = bytes(html)
+        html = decode_html(html)
     base = url
     bm = _BASE_TAG_RE.search(html)
     if bm is not None:

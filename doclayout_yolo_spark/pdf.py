@@ -70,20 +70,33 @@ _FLAT_DICT_RE = re.compile(rb"<<((?:(?!<<|>>).)*)>>", re.S)
 _ENCRYPT_SCAN_TAIL = 8192
 
 
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+
+
 def is_encrypted_pdf(raw: bytes) -> bool:
     # classic trailers live at EOF: tail scan suffices
     tail = raw[-_ENCRYPT_SCAN_TAIL:]
     for m in _TRAILER_DICT_RE.finditer(tail):
         if _ENCRYPT_REF_RE.search(m.group(1)):
             return True
-    # xref-STREAM dicts precede their (possibly large) stream data, so
-    # in a many-object PDF they sit far more than 8 KB before EOF (r5
-    # review finding) — scan the whole file, but only when the cheap
-    # substring pre-check fires (absent from virtually every
-    # unencrypted document)
-    if b"/Encrypt" in raw:
-        for m in _FLAT_DICT_RE.finditer(raw):
-            d = m.group(1)
+    # xref-STREAM PDFs: follow the LAST startxref pointer (itself
+    # tail-bounded, where real PDFs put it) to the XRef object and
+    # inspect THAT dict only.  This reaches dicts any distance before
+    # EOF (r5 finding #1: they precede a possibly-huge stream) without
+    # letting page CONTENT anywhere in the file fake an encryption
+    # dict (r5 finding #2: a whole-file scan could false-positive on a
+    # document quoting '<< /Type /XRef ... /Encrypt ... >>').
+    # Incremental-update /Prev chains are not followed: the newest
+    # xref section governs the current document state.
+    sx = None
+    for sx in _STARTXREF_RE.finditer(tail):
+        pass
+    if sx is not None:
+        off = int(sx.group(1))
+        window = raw[off : off + _ENCRYPT_SCAN_TAIL]
+        dm = _FLAT_DICT_RE.search(window)
+        if dm is not None:
+            d = dm.group(1)
             if b"/XRef" in d and _ENCRYPT_REF_RE.search(d):
                 return True
     return False

@@ -336,3 +336,40 @@ def test_meta_charset_attribute_position_guard():
         )
         == "big5"
     )
+
+
+def test_second_pass_review_fixes():
+    """r5 second-pass review regressions: data-href cannot shadow the
+    real href; quoted '>' inside attributes doesn't truncate the tag;
+    content= mentions of charset need http-equiv; near-valid UTF-8
+    doesn't cliff into cp1252; corrupt gzip yields no links (total)."""
+    import gzip
+
+    from doclayout_yolo_spark.extract import (
+        decode_html,
+        extract_outlinks,
+        sniff_charset,
+    )
+
+    u = "https://h.example.org/"
+    # data-href shadowing + fabrication
+    h = b'<a class="l" data-href="/tracked" href="/real">x</a><a data-href="/fake">y</a>'
+    assert extract_outlinks(u, h) == ["https://h.example.org/real"]
+    # '>' inside a quoted attribute value
+    h2 = b'<a onclick="if(x>1)go()" href="/real2">x</a>'
+    assert extract_outlinks(u, h2) == ["https://h.example.org/real2"]
+    # charset= inside content only honored with http-equiv
+    assert sniff_charset(
+        b'<meta name="description" content="how to use charset=big5">'
+    ) == ""
+    assert sniff_charset(
+        b'<meta http-equiv="Content-Type" content="text/html; charset=big5">'
+    ) == "big5"
+    # one truncated multibyte sequence must NOT flip the page to cp1252
+    page = ("x" * 50 + "日本語テキスト" * 5).encode("utf-8")
+    broken = page + bytes([0xE4, 0xB8])  # truncated trailing char
+    out = decode_html(broken)
+    assert "日本語" in out and out.count("�") <= 2
+    # corrupt gzip: frontier total, zero links
+    corrupt = gzip.compress(b'<a href="/x">y</a>')[:-5] + b"\x00"
+    assert extract_outlinks(u, corrupt) == []

@@ -472,3 +472,30 @@ def test_differences_partial_remap_uses_base_encoding():
     f = _Font(winansi=True, diffs={0x80: "X"})
     # 0x80 remapped; 0x93 falls through to WinAnsi (U+201C)
     assert f.decode(b"\x80a\x93") == "Xa“"
+
+
+def test_encrypted_xref_stream_detected_via_startxref():
+    """r5 second-pass review: the XRef-stream /Encrypt check follows
+    the tail startxref pointer (works at any distance before EOF) and
+    page content quoting an XRef dict cannot false-positive."""
+    from doclayout_yolo_spark.pdf import is_encrypted_pdf
+
+    xref_obj = (
+        b"9 0 obj\n<< /Type /XRef /Size 10 /W [1 2 1] /Root 1 0 R"
+        b" /Encrypt 5 0 R /Length 4 >>\nstream\nAAAA\nendstream\nendobj\n"
+    )
+    body = b"%PDF-1.5\n" + b"%" + b"x" * 20_000 + b"\n"  # xref >8KB before EOF
+    off = len(body)
+    raw = body + xref_obj + b"startxref\n%d\n%%%%EOF\n" % off
+    assert is_encrypted_pdf(raw)
+    # same layout without /Encrypt: clean
+    clean_obj = xref_obj.replace(b" /Encrypt 5 0 R", b"")
+    raw2 = body + clean_obj + b"startxref\n%d\n%%%%EOF\n" % off
+    assert not is_encrypted_pdf(raw2)
+    # content QUOTING an encrypted xref dict, real startxref pointing
+    # at a clean one: not encrypted
+    quote = b"1 0 obj\n<< /Length 99 >>\nstream\nBT (see << /Type /XRef /Encrypt 9 0 R >>) Tj ET\nendstream\nendobj\n"
+    body3 = b"%PDF-1.5\n" + quote
+    off3 = len(body3)
+    raw3 = body3 + clean_obj + b"startxref\n%d\n%%%%EOF\n" % off3
+    assert not is_encrypted_pdf(raw3)
