@@ -360,20 +360,39 @@ def inflate_if_gzip(raw: bytes | bytearray) -> bytes:
     return out
 
 
-def sniff_charset(raw: bytes) -> str:
+# transport-layer (HTTP Content-Type header) charset labels: unlike a
+# <meta> tag, the header is out-of-band, so a utf-16 label there is
+# legitimate (the in-band alias map deliberately coerces utf-16 labels
+# to utf-8 because ASCII meta bytes inside utf-16 content are a lie)
+_TRANSPORT_UTF16: dict[str, str] = {
+    "utf-16": "utf-16",
+    "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+}
+
+
+def sniff_charset(raw: bytes, transport_label: str | None = None) -> str:
     """Python codec name for an HTML byte payload (never raises).
-    Returns ``""`` for the undeclared case — the caller then tries
-    strict UTF-8 and falls back to cp1252, the WHATWG default legacy
-    encoding for unlabeled content: a large share of real undeclared
-    Common-Crawl pages are cp1252/latin-1, and utf-8/replace would
-    mangle every non-ASCII byte in them.  (cp1252 decodes any byte
-    sequence, so the fallback never raises; genuinely-UTF-8 pages are
-    caught by the strict pass first — random cp1252 text is almost
-    never valid multi-byte UTF-8.)"""
+    Precedence per the WHATWG encoding-sniffing algorithm: BOM, then
+    the transport-layer label (HTTP ``Content-Type`` charset — an
+    unknown transport label is ignored, not an error), then the
+    ``<meta>`` prescan.  Returns ``""`` for the undeclared case — the
+    caller then tries strict UTF-8 and falls back to cp1252, the
+    WHATWG default legacy encoding for unlabeled content: a large
+    share of real undeclared Common-Crawl pages are cp1252/latin-1,
+    and utf-8/replace would mangle every non-ASCII byte in them.
+    (cp1252 decodes any byte sequence, so the fallback never raises;
+    genuinely-UTF-8 pages are caught by the strict pass first —
+    random cp1252 text is almost never valid multi-byte UTF-8.)"""
     if raw.startswith(b"\xef\xbb\xbf"):
         return "utf-8-sig"
     if raw.startswith(b"\xff\xfe") or raw.startswith(b"\xfe\xff"):
         return "utf-16"  # the codec consumes the BOM and picks endianness
+    if transport_label:
+        tl = transport_label.lower()
+        codec = _TRANSPORT_UTF16.get(tl) or _CHARSET_ALIASES.get(tl)
+        if codec is not None:
+            return codec
     label = _meta_charset_label(raw[:SNIFF_LIMIT])
     if label is not None:
         return _CHARSET_ALIASES.get(
@@ -382,9 +401,11 @@ def sniff_charset(raw: bytes) -> str:
     return ""
 
 
-def decode_html(raw: bytes | bytearray) -> str:
+def decode_html(
+    raw: bytes | bytearray, transport_label: str | None = None
+) -> str:
     raw = bytes(raw)
-    codec = sniff_charset(raw)
+    codec = sniff_charset(raw, transport_label)
     if codec:
         return raw.decode(codec, errors="replace")
     try:
@@ -791,11 +812,24 @@ def extract_document(
     from time import perf_counter  # noqa: PLC0415
 
     t0 = perf_counter()
+    transport_charset: str | None = None
     if isinstance(html, (bytes, bytearray)):
         # bounded gzip inflate BEFORE dispatch (PDF magic, charset
         # sniff then see the decompressed bytes); bombs/corruption
         # raise into the per-doc quarantine wrapper
         html = inflate_if_gzip(html)
+        if html.startswith(b"HTTP/"):
+            # a raw WARC response payload: strip the HTTP envelope
+            # (de-chunk + decompress, bounded) and keep the header's
+            # charset label — transport precedence beats <meta>
+            from .http import is_http_response, parse_http_response  # noqa: PLC0415
+
+            if is_http_response(html):
+                resp = parse_http_response(html)
+                transport_charset = resp["charset"]
+                # a compressed file served without Content-Encoding
+                # still inflates transparently, same as the top-level
+                html = inflate_if_gzip(resp["body"])
     is_pdf = (isinstance(html, bytes) and html.startswith(b"%PDF-")) or (
         isinstance(html, str) and html.startswith("%PDF-")
     )
@@ -810,6 +844,8 @@ def extract_document(
         blocks, page_w, page_h = parse_pdf_blocks(html)
         page_w, page_h = np.float32(page_w), np.float32(page_h)
     else:
+        if isinstance(html, (bytes, bytearray)) and transport_charset:
+            html = decode_html(html, transport_charset)
         blocks = parse_blocks(html)
         page_w, page_h = layout_blocks(blocks)
     t1 = perf_counter()

@@ -768,6 +768,111 @@ FROM p
 """
 
 
+# --- HTTP response-envelope round-trip ---------------------------------------
+#
+# The transport-layer twin of warc_roundtrip: each document's text is
+# wrapped in a full HTTP/1.1 response (http.build_http_response) in
+# one of six wire variants — identity / chunked (with a chunk
+# extension and a trailer header that must be skipped) / gzip /
+# gzip+chunked / deflate / utf-16le body whose charset exists ONLY in
+# the Content-Type header — then parsed back with the independent
+# http.parse_http_response and decoded.  The oracle's expectations
+# are closed-form straight from the documents table (md5/length of
+# the original text, status from the variant arithmetic), so a parser
+# that mis-frames a single chunk, double-inflates, or ignores the
+# transport charset hash-mismatches.  Scale: one mapInPandas, zero
+# shuffle — per-record work exactly like a 10^12-row crawl ingest.
+
+HTTP_VARIANTS = 6
+
+
+def http_envelope_roundtrip(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def kern(batches):
+        import hashlib  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        from .extract import decode_html  # noqa: PLC0415
+        from .http import (  # noqa: PLC0415
+            build_http_response,
+            parse_http_response,
+        )
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "variant": [],
+                "status": [],
+                "n_chars": [],
+                "text_md5": [],
+            }
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did, body = int(did), str(text)
+                v = did % HTTP_VARIANTS
+                if v == 0:
+                    raw = build_http_response(body.encode("utf-8"))
+                elif v == 1:
+                    raw = build_http_response(
+                        body.encode("utf-8"),
+                        status=404,
+                        reason="Not Found",
+                        chunked=True,
+                    )
+                elif v == 2:
+                    raw = build_http_response(
+                        body.encode("utf-8"), content_encoding="gzip"
+                    )
+                elif v == 3:
+                    raw = build_http_response(
+                        body.encode("utf-8"),
+                        content_encoding="gzip",
+                        chunked=True,
+                        chunk_size=11,
+                    )
+                elif v == 4:
+                    raw = build_http_response(
+                        body.encode("utf-8"), content_encoding="deflate"
+                    )
+                else:
+                    raw = build_http_response(
+                        body.encode("utf-16-le"), charset="utf-16le"
+                    )
+                r = parse_http_response(raw)
+                dec = (
+                    decode_html(r["body"], r["charset"])
+                    if v == HTTP_VARIANTS - 1
+                    else r["body"].decode("utf-8")
+                )
+                rows["doc_id"].append(did)
+                rows["variant"].append(v)
+                rows["status"].append(r["status"])
+                rows["n_chars"].append(len(dec))
+                rows["text_md5"].append(
+                    hashlib.md5(dec.encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        kern,
+        schema=(
+            "doc_id long, variant long, status long,"
+            " n_chars long, text_md5 string"
+        ),
+    )
+
+
+HTTP_ROUNDTRIP_SQL = f"""
+SELECT doc_id,
+       doc_id % {HTTP_VARIANTS} AS variant,
+       CASE WHEN doc_id % {HTTP_VARIANTS} = 1 THEN 404 ELSE 200 END AS status,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
 # --- crawl snapshot diff -----------------------------------------------------
 #
 # The incremental-crawl primitive: given the previous snapshot and the
@@ -1508,5 +1613,6 @@ CURATION_QUERIES = {
     "nfc_normalize": (nfc_normalize, NFC_SQL),
     "weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
     "warc_roundtrip": (warc_roundtrip, WARC_SQL),
+    "http_envelope_roundtrip": (http_envelope_roundtrip, HTTP_ROUNDTRIP_SQL),
     "crawl_snapshot_diff": (crawl_snapshot_diff, SNAPSHOT_DIFF_SQL),
 }
