@@ -432,8 +432,15 @@ _TAG_RE = re.compile(
     r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)"
     # attribute grammar mirrors html.parser's tolerant scanner: quotes
     # delimit values only right after '=' (so '>' inside quoted values
-    # is fine, but a stray unpaired quote is junk-attr, not a span)
-    r"((?:[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?|\s+|/(?!\s*>))*)"
+    # is fine, but a stray unpaired quote is junk-attr, not a span).
+    # Quantifiers are POSSESSIVE (Python 3.11 re): the plain-greedy
+    # form backtracks exponentially on an open tag followed by junk
+    # with no '>' (e.g. '<a x=y x=y ...<EOF>'), which pins a core for
+    # hours on one corrupt crawl page.  Possessive scanning is
+    # equivalent here because no loop branch can consume the '>' the
+    # tail needs, so the greedy-first decomposition is the only one
+    # that can ever succeed.
+    r"((?:[^\s/>=]++(?:\s*+=\s*+(?:\"[^\"]*+\"|'[^']*+'|[^\s>]*+))?+|\s++|/(?!\s*>))*+)"
     r"(/?)\s*>",
     re.S,
 )

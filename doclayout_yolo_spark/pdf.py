@@ -509,16 +509,256 @@ def _tag_for_size(size: float) -> str:
     return "p"
 
 
+# --- stream filter chain (ISO 32000-1 §7.4) ----------------------------------
+#
+# /Filter is a name or an array of names applied left-to-right when
+# decoding (the array lists encode order, which is decode order too:
+# [/ASCII85Decode /FlateDecode] means "un-85 first, then inflate").
+# Wild PDFs mix FlateDecode with the ASCII armors (ASCIIHex/ASCII85 —
+# mail-safe transports), RunLengthDecode, and legacy LZWDecode
+# (pre-Flate writers, still common in old scanned corpora).  Unknown
+# filters (DCT/JBIG2/CCITT image codecs, Crypt) return None: the page
+# slot is retained and the document degrades, it does not quarantine.
+
+_FILTER_ENTRY_RE = re.compile(rb"/Filter\s*(/[A-Za-z0-9]+|\[[^\]]*\])")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_PRED_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_EARLY_RE = re.compile(rb"/EarlyChange\s+(\d+)")
+
+
+def _ahx_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode: whitespace ignored, '>' is EOD, an odd final
+    digit is padded with '0' (ISO 32000-1 §7.4.2)."""
+    data = data.split(b">", 1)[0]
+    data = bytes(c for c in data if c not in b" \t\r\n\f\x00")
+    if len(data) % 2:
+        data += b"0"
+    return bytes.fromhex(data.decode("ascii"))
+
+
+def _a85_decode(data: bytes) -> bytes:
+    """ASCII85Decode: PDF streams end with '~>' but (unlike Adobe ps)
+    rarely start with '<~'; normalize to the Adobe frame and let the
+    stdlib handle 'z' groups and whitespace."""
+    import base64  # noqa: PLC0415
+
+    data = data.strip()
+    if data.endswith(b"~>"):
+        data = data[:-2]
+    if data.startswith(b"<~"):
+        data = data[2:]
+    return base64.a85decode(b"<~" + data + b"~>", adobe=True)
+
+
+def _rl_decode(data: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000-1 §7.4.5): length byte L then
+    L+1 literal bytes (L<128), or 257-L copies of the next byte
+    (L>128); 128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            chunk = data[i + 1 : i + 2 + ln]
+            if len(chunk) != ln + 1:
+                raise ValueError("RunLength: truncated literal run")
+            out += chunk
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                raise ValueError("RunLength: truncated repeat run")
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+        if len(out) > _MAX_STREAM_OUT:
+            raise ValueError("RunLength: output cap exceeded")
+    return bytes(out)
+
+
+# per-stream decode output cap: a page content stream is KBs; capping
+# at 64 MB turns LZW (~3840:1 worst case) and Flate (~1032:1) bombs
+# into a per-page degrade instead of an executor OOM
+_MAX_STREAM_OUT = 64 << 20
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (ISO 32000-1 §7.4.4; TIFF LZW): 9..12-bit codes MSB
+    first, 256=clear, 257=EOD, code width grows at 2^w - EarlyChange."""
+    clear, eod = 256, 257
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    out = bytearray()
+    buf = nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (buf >> nbits) & ((1 << width) - 1)
+            if code == clear:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == eod:
+                return bytes(out)
+            if code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"LZW: invalid code {code}")
+            out += entry
+            if len(out) > _MAX_STREAM_OUT:
+                raise ValueError("LZW: output cap exceeded")
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                # the decoder's table lags the encoder's by one entry
+                # (it learns entry k only after reading code k+1), so
+                # it must widen one code earlier than the encoder's
+                # own next_code+early threshold — the classic TIFF-LZW
+                # "maxcode - 1" rule (libtiff tif_lzw.c does the same)
+                if next_code + early >= (1 << width) - 1 and width < 12:
+                    width += 1
+            prev = entry
+    return bytes(out)  # missing EOD: tolerate, emit what decoded
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZW encoder for the fixture writer — the exact inverse of
+    :func:`_lzw_decode` (same width-change and clear-code policy)."""
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << w) | code
+        nbits += w
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code + early >= 4096:
+            emit(256, width)  # table full: clear and restart
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        else:
+            table[wc] = next_code
+            next_code += 1
+            if next_code + early >= (1 << width) and width < 12:
+                width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _png_predictor(
+    data: bytes, columns: int, colors: int = 1, bpc: int = 8
+) -> bytes:
+    """Reverse PNG row predictors (Predictor >= 10; RFC 2083 §6): each
+    row is a filter-type byte + row bytes.  Used by Flate/LZW streams
+    that declare /DecodeParms /Predictor."""
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data), rowlen + 1):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + 1 + rowlen])
+        if len(row) < rowlen:
+            row += bytes(rowlen - len(row))
+        if ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG predictor: bad filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes | None:
-    """Stream dict + raw body -> decoded body, or None when the body
-    is not decodable (unsupported filter chain, corrupt flate data)."""
-    if _FLATE_RE.search(dict_bytes):
-        try:
-            return zlib.decompress(body)
-        except zlib.error:
-            return None
-    if b"/Filter" in dict_bytes:
-        return None  # some other filter we don't implement
+    """Stream dict + raw body -> decoded body through the full
+    /Filter chain, or None when the body is not decodable
+    (unsupported filter, corrupt data) — the caller retains the page
+    slot and degrades.  /DecodeParms handling is the flat-dict subset
+    (Predictor/Columns/Colors/BitsPerComponent/EarlyChange), applied
+    to the Flate/LZW stage as content and object streams use it."""
+    fm = _FILTER_ENTRY_RE.search(dict_bytes)
+    if fm is None:
+        return body if b"/Filter" not in dict_bytes else None
+    names = [n.decode("ascii") for n in _NAME_RE.findall(fm.group(1))]
+    em = _EARLY_RE.search(dict_bytes)
+    early = int(em.group(1)) if em else 1
+    pm = _PRED_RE.search(dict_bytes)
+    if pm is not None and 2 <= int(pm.group(1)) < 10:
+        return None  # TIFF predictor: not implemented, degrade
+    try:
+        for name in names:
+            if name in ("FlateDecode", "Fl"):
+                dec = zlib.decompressobj()
+                body = dec.decompress(body, _MAX_STREAM_OUT)
+                if dec.unconsumed_tail:
+                    raise ValueError("Flate: output cap exceeded")
+            elif name in ("LZWDecode", "LZW"):
+                body = _lzw_decode(body, early=early)
+            elif name in ("ASCIIHexDecode", "AHx"):
+                body = _ahx_decode(body)
+            elif name in ("ASCII85Decode", "A85"):
+                body = _a85_decode(body)
+            elif name in ("RunLengthDecode", "RL"):
+                body = _rl_decode(body)
+            else:
+                return None  # image codec / Crypt: not a text stream
+            if pm is not None and name in (
+                "FlateDecode", "Fl", "LZWDecode", "LZW",
+            ) and int(pm.group(1)) >= 10:
+                cm = _COLUMNS_RE.search(dict_bytes)
+                com = _COLORS_RE.search(dict_bytes)
+                bm = _BPC_RE.search(dict_bytes)
+                body = _png_predictor(
+                    body,
+                    int(cm.group(1)) if cm else 1,
+                    int(com.group(1)) if com else 1,
+                    int(bm.group(1)) if bm else 8,
+                )
+    except (ValueError, zlib.error, OverflowError):
+        return None
     return body
 
 
@@ -859,10 +1099,63 @@ def _tounicode_cmap(code_of: dict[str, int]) -> bytes:
     return "".join(parts).encode("ascii")
 
 
-def _stream_obj(content: bytes, compress: bool, extra: bytes = b"") -> bytes:
+# writer-side encoders for each decodable filter; a '+'-joined spec
+# like "a85+flate" lists filters in DECODE order (the /Filter array
+# order), so the writer applies them right-to-left when encoding
+_ENCODERS: dict[str, tuple[bytes, object]] = {
+    "flate": (b"/FlateDecode", lambda d: zlib.compress(d, 6)),
+    "ahx": (b"/ASCIIHexDecode", lambda d: d.hex().encode("ascii") + b">"),
+    "a85": (
+        b"/ASCII85Decode",
+        lambda d: __import__("base64").a85encode(d) + b"~>",
+    ),
+    "rl": (b"/RunLengthDecode", None),  # bound below (needs a loop)
+    "lzw": (b"/LZWDecode", lambda d: _lzw_encode(d)),
+}
+
+
+def _rl_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # repeat run of >= 3 identical bytes
+        j = i
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal run up to the next 3-byte repeat (max 128)
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+_ENCODERS["rl"] = (b"/RunLengthDecode", _rl_encode)
+
+
+def _stream_obj(
+    content: bytes, compress: bool | str, extra: bytes = b""
+) -> bytes:
     if compress:
-        data = zlib.compress(content, 6)
-        filt = b" /Filter /FlateDecode"
+        spec = "flate" if compress is True else str(compress)
+        names = [s.strip() for s in spec.split("+") if s.strip()]
+        data = content
+        for s in reversed(names):  # encode right-to-left of decode order
+            data = _ENCODERS[s][1](data)
+        filt_names = b" ".join(_ENCODERS[s][0] for s in names)
+        filt = (
+            b" /Filter " + filt_names
+            if len(names) == 1
+            else b" /Filter [" + filt_names + b"]"
+        )
     else:
         data, filt = content, b""
     # /Length counts ONLY the stream data; the EOL before 'endstream'
@@ -876,7 +1169,7 @@ def build_pdf_pages(
     pages: list[list[tuple[str, float, float, float]]],
     page_w: float = DEFAULT_PAGE_W,
     page_h: float = DEFAULT_PAGE_H,
-    compress: bool = False,
+    compress: bool | str = False,
     style: str = "Tj",
     objstm: bool = False,
 ) -> bytes:
@@ -1036,7 +1329,7 @@ def build_pdf(
     texts: list[tuple[str, float, float, float]],
     page_w: float = DEFAULT_PAGE_W,
     page_h: float = DEFAULT_PAGE_H,
-    compress: bool = False,
+    compress: bool | str = False,
     style: str = "Tj",
     objstm: bool = False,
 ) -> bytes:

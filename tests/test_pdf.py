@@ -499,3 +499,135 @@ def test_encrypted_xref_stream_detected_via_startxref():
     off3 = len(body3)
     raw3 = body3 + clean_obj + b"startxref\n%d\n%%%%EOF\n" % off3
     assert not is_encrypted_pdf(raw3)
+
+
+# --- stream filter chain (ISO 32000-1 §7.4) ----------------------------------
+
+
+@pytest.mark.parametrize(
+    "spec",
+    ["ahx", "a85", "rl", "lzw", "a85+flate", "rl+flate", "ahx+flate", "lzw"],
+)
+def test_filter_chain_equals_plain(spec):
+    texts = [
+        ("Doc 1", 24.0, 60.0, 80.0),
+        ("chain codec body text", 12.0, 60.0, 150.0),
+    ]
+    plain = parse_pdf_blocks(build_pdf(texts))
+    coded = parse_pdf_blocks(build_pdf(texts, compress=spec))
+    assert coded == plain and len(plain[0]) == 2
+
+
+def test_lzw_iso_spec_vector():
+    # ISO 32000-1 §7.4.4.2 example input: bytes (decimal) 45 x5, 65,
+    # 45 x4.  The TIFF-LZW code sequence is 256 45 258 258 65 259 45
+    # 257 (hand-traced: 258='--' is learned after the 2nd 45 and
+    # emitted twice, 259='---' once), which packs at 9 bits/code to
+    # the byte vector below.
+    from doclayout_yolo_spark.pdf import _lzw_decode, _lzw_encode
+
+    raw = bytes([45] * 5 + [65] + [45] * 4)
+    enc = bytes.fromhex("800b6050220c0c5b01")
+    assert _lzw_decode(enc) == raw
+    assert _lzw_encode(raw) == enc
+    assert _lzw_decode(_lzw_encode(raw)) == raw
+
+
+def test_lzw_width_change_roundtrip_large():
+    # enough distinct digrams to cross the 9->10->11 bit width bumps,
+    # where a decoder without the "-1 early" rule desyncs
+    import random
+
+    rng = random.Random(7)
+    raw = bytes(rng.randrange(256) for _ in range(20000))
+    from doclayout_yolo_spark.pdf import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(raw)) == raw
+    # EarlyChange 0 variant
+    assert _lzw_decode(_lzw_encode(raw, early=0), early=0) == raw
+
+
+def test_ascii_hex_odd_digit_and_whitespace():
+    from doclayout_yolo_spark.pdf import _ahx_decode
+
+    assert _ahx_decode(b"48 65 6c\n6c 6f>") == b"Hello"
+    # odd trailing digit pads with 0 (ISO 7.4.2)
+    assert _ahx_decode(b"4865 6c6c 6f 4>") == b"Hello@"
+
+
+def test_runlength_roundtrip_and_truncation():
+    from doclayout_yolo_spark.pdf import _rl_decode, _rl_encode
+
+    for raw in [b"", b"a", b"aaaa", b"abcabc", b"x" * 300, b"ab" + b"c" * 200 + b"de"]:
+        assert _rl_decode(_rl_encode(raw)) == raw
+    with pytest.raises(ValueError):
+        _rl_decode(b"\x05ab")  # literal run claims 6 bytes, has 2
+
+
+def test_png_predictor_up_and_sub():
+    from doclayout_yolo_spark.pdf import _png_predictor
+
+    # Up filter: rows are deltas vs previous row
+    rows = [b"\x02\x01\x02\x03\x04", b"\x02\x01\x01\x01\x01"]
+    out = _png_predictor(b"".join(rows), columns=4)
+    assert out == bytes([1, 2, 3, 4, 2, 3, 4, 5])
+    # Sub filter: bytes are deltas vs left neighbour
+    out = _png_predictor(b"\x01\x05\x01\x01\x01", columns=4)
+    assert out == bytes([5, 6, 7, 8])
+
+
+def test_flate_predictor_stream_decodes():
+    # hand-build a Flate stream with /Predictor 12 (PNG Up), as xref
+    # and object streams in wild PDFs declare
+    from doclayout_yolo_spark.pdf import _decode_stream
+
+    payload = bytes([1, 2, 3, 4, 2, 3, 4, 5])
+    filtered = b"\x02\x01\x02\x03\x04" + b"\x02\x01\x01\x01\x01"
+    body = zlib.compress(filtered)
+    d = b"<< /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> >>"
+    assert _decode_stream(d, body) == payload
+
+
+def test_tiff_predictor_degrades_to_none():
+    from doclayout_yolo_spark.pdf import _decode_stream
+
+    body = zlib.compress(b"anything")
+    d = b"<< /Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns 4 >> >>"
+    assert _decode_stream(d, body) is None
+
+
+def test_filter_abbreviations_and_bad_chain_degrade():
+    from doclayout_yolo_spark.pdf import _decode_stream
+
+    # short names (inline-image abbreviations some writers leak)
+    assert _decode_stream(b"<< /Filter /AHx >>", b"4869>") == b"Hi"
+    # unknown codec in the middle of a chain -> None, not crash
+    assert (
+        _decode_stream(b"<< /Filter [/ASCII85Decode /DCTDecode] >>", b"x")
+        is None
+    )
+    # corrupt a85 payload -> None
+    assert _decode_stream(b"<< /Filter /ASCII85Decode >>", b"\xff\xff~>") is None
+
+
+def test_decompression_bombs_degrade_not_oom():
+    """A stream whose decode output exceeds the 64 MB per-stream cap
+    degrades to None (one lost page) instead of materializing GBs on
+    an executor: Flate (~1032:1), LZW (~3840:1), RunLength (128:1)."""
+    from doclayout_yolo_spark.pdf import _decode_stream, _lzw_encode
+
+    big = b"\x00" * (70 << 20)
+    assert (
+        _decode_stream(b"<< /Filter /FlateDecode >>", zlib.compress(big))
+        is None
+    )
+    assert (
+        _decode_stream(b"<< /Filter /LZWDecode >>", _lzw_encode(big)) is None
+    )
+    rl_bomb = (b"\x81\x00") * ((64 << 20) // 128 + 16)
+    assert _decode_stream(b"<< /Filter /RunLengthDecode >>", rl_bomb) is None
+    # a normal-size stream still decodes through the same paths
+    assert (
+        _decode_stream(b"<< /Filter /FlateDecode >>", zlib.compress(b"ok"))
+        == b"ok"
+    )

@@ -143,7 +143,9 @@ _pdf_text = st.text(
                    min_size=6, max_size=6),
     seed=st.integers(0, 999),
     style=st.sampled_from(["Tj", "TJ", "Tstar", "hex", "hexTJ", "winansi", "cid"]),
-    compress=st.booleans(),
+    compress=st.sampled_from(
+        [False, True, "ahx", "a85", "rl", "lzw", "a85+flate", "rl+flate"]
+    ),
 )
 @settings(max_examples=120, deadline=None)
 def test_pdf_writer_parser_roundtrip(texts, sizes, seed, style, compress):
@@ -153,7 +155,8 @@ def test_pdf_writer_parser_roundtrip(texts, sizes, seed, style, compress):
     strips, across all show-operator styles (literal Tj, kerned TJ
     arrays, TL/T* line advances, single-byte hex strings, hex TJ
     segments, WinAnsi-encoded literals, and 2-byte CID codes decoded
-    through a /ToUnicode CMap) and FlateDecode compression."""
+    through a /ToUnicode CMap) and every stream filter spec the writer
+    emits (Flate, ASCIIHex, ASCII85, RunLength, LZW, armored chains)."""
     import numpy as np
 
     from doclayout_yolo_spark.extract import _norm_ws
@@ -289,3 +292,55 @@ def test_differences_parse_never_raises(raw):
             assert 0 <= code <= 255
             ch.encode("utf-8")  # never a lone surrogate
     is_encrypted_pdf(raw)  # total over arbitrary bytes
+
+
+@given(
+    raw=st.binary(max_size=400),
+    filt=st.sampled_from(
+        [
+            b"/FlateDecode",
+            b"/LZWDecode",
+            b"/ASCIIHexDecode",
+            b"/ASCII85Decode",
+            b"/RunLengthDecode",
+            b"[/ASCII85Decode /FlateDecode]",
+            b"[/RunLengthDecode /LZWDecode]",
+            b"/DCTDecode",
+        ]
+    ),
+    parms=st.sampled_from(
+        [b"", b" /DecodeParms << /Predictor 12 /Columns 4 >>",
+         b" /DecodeParms << /Predictor 2 >>", b" /EarlyChange 0"]
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_decode_stream_total_over_garbage(raw, filt, parms):
+    """_decode_stream is a total function over arbitrary stream bodies
+    for every filter chain: it returns bytes or None (degrade), never
+    raises — a poisoned stream costs one page slot, not a document or
+    a task (r5 filter-chain surface)."""
+    from doclayout_yolo_spark.pdf import _decode_stream
+
+    out = _decode_stream(b"<< /Filter " + filt + parms + b" >>", raw)
+    assert out is None or isinstance(out, bytes)
+
+
+def test_tag_scanner_linear_on_unclosed_tag_junk():
+    """ReDoS regression (r5): an open tag followed by attribute-like
+    junk with no closing '>' must scan in linear time — the
+    plain-greedy attribute grammar backtracked exponentially here
+    (one corrupt crawl page pinned a core for hours).  200k chars of
+    the adversarial shape must parse in well under a second."""
+    import time
+
+    from doclayout_yolo_spark.extract import parse_blocks
+
+    for evil in (
+        "<a " + "x=y " * 50_000 + "\x00" * 64,
+        "<a" + "=.." * 60_000,
+        "<div " + "a" * 200_000,
+        "<p " + "'" * 100_000,
+    ):
+        t0 = time.time()
+        parse_blocks(evil.encode("utf-8", "replace"))
+        assert time.time() - t0 < 1.0

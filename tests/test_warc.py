@@ -89,3 +89,29 @@ def test_parse_valid_prefix_survives_garbage_suffix(payload, junk):
     blob = build_warc([("https://a.example/x", "2026-01-01T00:00:00Z", payload)])
     out = parse_warc(blob + junk)
     assert out and out[0]["payload"] == payload
+
+
+def test_warc_response_record_with_http_envelope_extracts():
+    """The Common-Crawl shape end-to-end: a WARC response record whose
+    payload is the raw HTTP response (status line + headers + chunked,
+    gzip-compressed body).  parse_warc returns the envelope verbatim;
+    the extraction dispatcher strips it, so the extracted text is
+    byte-identical to extracting the bare HTML."""
+    from doclayout_yolo_spark.http import build_http_response
+    from doclayout_yolo_spark.pipeline import _extract_one
+
+    html = (
+        b"<html><head><title>T</title></head><body>"
+        b"<h1>Envelope</h1><p>body text inside a warc record</p>"
+        b"</body></html>"
+    )
+    envelope = build_http_response(html, chunked=True, content_encoding="gzip")
+    blob = build_warc(
+        [("https://cc.example/page", "2026-01-01T00:00:00Z", envelope)]
+    )
+    recs = parse_warc(blob)
+    assert len(recs) == 1 and recs[0]["payload"] == envelope
+    t_env, r_env, _m1, e1 = _extract_one(recs[0]["uri"], recs[0]["payload"])
+    t_bare, r_bare, _m2, e2 = _extract_one(recs[0]["uri"], html)
+    assert e1 is None and e2 is None
+    assert t_env == t_bare and len(r_env) == len(r_bare) > 0
