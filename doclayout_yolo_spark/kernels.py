@@ -239,6 +239,219 @@ def reading_order(
     )
 
 
+def _det_struct(n: int) -> np.ndarray:
+    return np.zeros(
+        n,
+        dtype=[
+            ("anchor", np.int64),
+            ("x1", np.float32),
+            ("y1", np.float32),
+            ("x2", np.float32),
+            ("y2", np.float32),
+            ("conf", np.float32),
+            ("cls", np.int64),
+        ],
+    )
+
+
+def postprocess_batch(
+    docs: list,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.7,
+    max_det: int = 300,
+    drop_classes: tuple[int, ...] = (),
+    keep_classes: tuple[int, ...] | None = None,
+    band_h: float = 32.0,
+    max_wh: float = 7680.0,
+) -> list:
+    """Cross-document batched :func:`postprocess` — bit-identical
+    results, one vectorized pass over a whole Arrow batch.
+
+    ``docs`` is a list of ``(boxes_xywh (a,4), class_scores (a,nc))``
+    pairs; the return value is ``[postprocess(*docs[i], ...)]`` —
+    exactly, element for element (pinned by the differential tests in
+    tests/test_batch_kernel.py).  Identity holds because every float
+    op stays elementwise on the same values (concatenation changes
+    layout, not bits), and every per-document ordering becomes a
+    global stable ``lexsort`` whose PRIMARY key is the document id —
+    within a document the secondary keys and stability reproduce the
+    scalar path's stable argsorts.
+
+    Three structural shortcuts keep the batched work proportional to
+    the *surviving* detections, each with an identity argument:
+
+    - Docs with ``a > max_det`` anchors route to the scalar path, so
+      stage-1 truncation never fires in the batch (big docs amortize
+      their own per-doc overhead anyway).
+    - The stage-2 flat sort runs only over above-``conf_thres`` pairs
+      (plus class filters — both are pure masks, so folding them in
+      commutes).  Scalar truncates the flat list to ``k2 = min(max_det,
+      a*nc)`` BEFORE masking, so a doc where more than ``k2`` pairs
+      clear the threshold could lose above-conf pairs to truncation;
+      those docs (counted per doc before sorting) route scalar.
+    - The stage-2 output order within a doc — ``(-conf, flat-index)``
+      — IS the order NMS's stable ``argsort(-scores)`` produces on it,
+      so no third sort exists.
+
+    The greedy-NMS data dependency is vectorized over *rank*
+    (score-descending position within a doc): iteration ``r``
+    processes the rank-r box of every document at once, so the
+    Python-loop length is the max survivor count per *chunk*, not the
+    document count.  Chunks are size-sorted so the padded ``(D, m, m)``
+    IoU tensors stay near ``sum(m_d^2)`` instead of ``D * max(m)^2``.
+    """
+    out: list = [None] * len(docs)
+
+    def _scalar(d: int) -> None:
+        out[d] = postprocess(
+            docs[d][0], docs[d][1], conf_thres, iou_thres, max_det,
+            drop_classes, keep_classes, band_h,
+        )
+
+    idxs: list[int] = []
+    for d, (_, sc) in enumerate(docs):
+        a = len(np.asarray(sc))
+        if a == 0 or a > max_det:
+            _scalar(d)
+        else:
+            idxs.append(d)
+    if not idxs:
+        return out
+
+    A = np.concatenate(
+        [np.asarray(docs[d][0], dtype=np.float32).reshape(-1, 4) for d in idxs]
+    )
+    S = np.concatenate(
+        [np.asarray(docs[d][1], dtype=np.float32) for d in idxs]
+    )
+    counts = np.array([len(np.asarray(docs[d][1])) for d in idxs], dtype=np.int64)
+    nd = len(idxs)
+    nc = S.shape[1]
+
+    # conf prefilter + truncation-violation routing (see docstring)
+    above = S > np.float32(conf_thres)
+    doc_of = np.repeat(np.arange(nd, dtype=np.int64), counts)
+    above_per_doc = np.bincount(
+        doc_of, weights=above.sum(axis=1), minlength=nd
+    ).astype(np.int64)
+    viol = above_per_doc > np.minimum(max_det, counts * nc)
+    if viol.any():
+        for g in np.flatnonzero(viol):
+            _scalar(idxs[g])
+        good = ~viol
+        keep_rows = good[doc_of]
+        A, S, above = A[keep_rows], S[keep_rows], above[keep_rows]
+        idxs = [d for d, ok in zip(idxs, good) if ok]
+        counts = counts[good]
+        nd = len(idxs)
+        if nd == 0:
+            return out
+        doc_of = np.repeat(np.arange(nd, dtype=np.int64), counts)
+    starts = np.zeros(nd, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+
+    # ---- stage 1 (v10_topk): with a <= max_det every anchor survives;
+    # the sort only fixes each anchor's stage-2 tie-break rank p.
+    per_anchor = S.max(axis=1)
+    order1 = np.lexsort((-per_anchor, doc_of))
+    seq = np.arange(len(doc_of), dtype=np.int64)
+    p_of = np.empty(len(seq), dtype=np.int64)
+    p_of[order1] = seq - starts[doc_of]  # doc_of[order1] == doc_of (grouped)
+
+    # ---- stage 2: sort only the masked pairs by (doc, -conf, p*nc+cls)
+    colmask = np.ones(nc, dtype=bool)
+    if keep_classes is not None:
+        colmask[:] = False
+        for c in keep_classes:
+            colmask[c] = True
+    for c in drop_classes:
+        colmask[c] = False
+    rows, cols = np.nonzero(above & colmask)
+    conf = S[rows, cols]
+    doc2 = doc_of[rows]
+    tie = p_of[rows] * nc + cols
+    order2 = np.lexsort((tie, -conf, doc2))
+    conf = conf[order2]
+    cls = cols[order2].astype(np.int64)
+    doc2 = doc2[order2]
+    anchors_global = rows[order2]
+    anchor_local = anchors_global - starts[doc2]
+    boxes = xywh2xyxy(A[anchors_global])
+
+    # ---- per-class NMS, rank-vectorized across docs.  IoU rows are
+    # computed lazily per rank (only the upper triangle the greedy loop
+    # reads), and docs sit in survivor-count-descending order so rank r
+    # touches just the k_r docs deep enough to have a rank-r box — the
+    # element count is the true suppression-pair count, not D*m^2.
+    shifted = boxes + cls.astype(np.float32)[:, None] * np.float32(max_wh)
+    surv = np.bincount(doc2, minlength=nd).astype(np.int64)
+    s3 = np.zeros(nd, dtype=np.int64)
+    np.cumsum(surv[:-1], out=s3[1:])
+    rank3 = np.arange(len(doc2), dtype=np.int64) - s3[doc2]
+    kept_flags = np.zeros(len(doc2), dtype=bool)
+    if len(doc2):
+        size_order = np.argsort(-surv, kind="stable")
+        survs = surv[size_order]                 # descending
+        m = int(survs[0])
+        gmap = np.empty(nd, dtype=np.int64)
+        gmap[size_order] = np.arange(nd)
+        gi = gmap[doc2]
+        B = np.zeros((nd, m, 4), dtype=np.float32)
+        B[gi, rank3] = shifted
+        areas = np.maximum(B[..., 2] - B[..., 0], 0) * np.maximum(
+            B[..., 3] - B[..., 1], 0
+        )
+        alive = np.zeros((nd, m), dtype=bool)
+        alive[gi, rank3] = True
+        kept = np.zeros((nd, m), dtype=bool)
+        neg_survs = -survs
+        eps = np.float32(1e-7)
+        thres = np.float32(iou_thres)
+        for r in range(m):
+            k = int(np.searchsorted(neg_survs, -r, side="left"))  # docs with surv > r
+            if k == 0:
+                break
+            cur = alive[:k, r]
+            kept[:k, r] = cur
+            if r + 1 >= m:
+                continue
+            Bk = B[:k, r + 1 :]
+            lt = np.maximum(B[:k, r, None, :2], Bk[..., :2])
+            rb = np.minimum(B[:k, r, None, 2:4], Bk[..., 2:4])
+            wh = np.clip(rb - lt, 0, None)
+            inter = wh[..., 0] * wh[..., 1]
+            union = areas[:k, r, None] + areas[:k, r + 1 :] - inter + eps
+            alive[:k, r + 1 :] &= ~(((inter / union) > thres) & cur[:, None])
+        # max_det cap: kept ranks are already in score-desc order
+        kept &= np.cumsum(kept, axis=1) <= max_det
+        kept_flags = kept[gi, rank3]
+
+    fdoc = doc2[kept_flags]
+    fb = boxes[kept_flags]
+    fconf = conf[kept_flags]
+    fcls = cls[kept_flags]
+    fanchor = anchor_local[kept_flags]
+
+    # ---- reading order (global lexsort, doc primary) + one shared
+    # output buffer: per-doc results are views, not copies
+    band = np.round(fb[:, 1] / np.float32(band_h)).astype(np.int64)
+    order4 = np.lexsort((fanchor, fb[:, 1], fb[:, 0], band, fdoc))
+    st = _det_struct(len(order4))
+    st["anchor"] = fanchor[order4]
+    st["x1"] = fb[order4, 0]
+    st["y1"] = fb[order4, 1]
+    st["x2"] = fb[order4, 2]
+    st["y2"] = fb[order4, 3]
+    st["conf"] = fconf[order4]
+    st["cls"] = fcls[order4]
+    per_doc_n = np.bincount(fdoc[order4], minlength=nd)
+    bounds = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(per_doc_n, out=bounds[1:])
+    for g, d in enumerate(idxs):
+        out[d] = st[bounds[g] : bounds[g + 1]]
+    return out
+
+
 def postprocess(
     boxes_xywh: np.ndarray,
     class_scores: np.ndarray,
