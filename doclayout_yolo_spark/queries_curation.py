@@ -125,6 +125,103 @@ FROM toks b LEFT JOIN kept k ON b.doc_id = k.doc_id
 """
 
 
+# --- host-level boilerplate (template) removal -------------------------------
+#
+# The CCNet/RefinedWeb template-removal pass: a "line" that appears on
+# many DIFFERENT pages of the SAME host (nav bars, footers, cookie
+# banners) is boilerplate, not content — strip it from every page of
+# that host before the document enters the corpus.  The synthetic
+# corpus has no newlines, so a "line" = a fixed window of BP_W
+# consecutive tokens (the dedup_paragraphs chunking shape at a
+# narrower width, chosen so cross-page repeats actually occur in the
+# random-token fixture); the host is the `source` column.
+#
+# Scale: ONE corpus scan -> explode to chunk rows -> per-(host, chunk)
+# doc-frequency via TWO windows over the SAME (source, chunk)
+# partitioning (a lag marks each doc's first occurrence inside the
+# partition, an unbounded sum counts those marks = COUNT DISTINCT
+# doc_id without a groupBy+join-back) -> per-doc reassembly groupBy.
+# Exactly two exchanges, every chunk row carried once — the same
+# single-scan discipline dedup_paragraphs is pinned to.  (source,
+# chunk) is a high-cardinality key, so no skew and no broadcast of
+# anything corpus-sized; a genuinely mega-viral chunk still bounds its
+# partition by that host's page count.
+
+BP_W = 2        # tokens per "line"
+BP_MIN_DF = 5   # distinct docs of one host sharing a line => template
+
+
+def boilerplate_strip(spark, sf_dir):
+    """Host-level boilerplate removal: chunks of BP_W tokens seen in
+    >= BP_MIN_DF distinct documents of the same source are stripped;
+    each document's text is reassembled from surviving chunks.
+    Output: doc_id, n_chunks, n_boiler, clean_text."""
+    return boilerplate_strip_df(_docs(spark, sf_dir))
+
+
+def boilerplate_strip_df(d):
+    """Core of :func:`boilerplate_strip` over any (doc_id, source,
+    text) DataFrame — the form a curation job composes."""
+    ch = d.selectExpr(
+        "doc_id",
+        "source",
+        f"posexplode(transform(sequence(0, cast(ceil(size(split(text, ' ')) / {BP_W}) as int) - 1),"
+        f" i -> array_join(slice(split(text, ' '), i * {BP_W} + 1, {BP_W}), ' ')))"
+        " AS (chunk_idx, chunk)",
+    )
+    wp = W.partitionBy("source", "chunk")
+    wo = wp.orderBy("doc_id", "chunk_idx")
+    prev = F.lag("doc_id").over(wo)
+    first_in_doc = (prev.isNull() | (prev != F.col("doc_id"))).cast("long")
+    flagged = ch.withColumn("df", F.sum(first_in_doc).over(wp))
+    boiler = F.col("df") >= BP_MIN_DF
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(boiler.cast("long")).alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~boiler, F.struct("chunk_idx", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, source, t,
+         unnest(range(CAST(ceil(len(t) / {BP_W}.0) AS BIGINT))) AS chunk_idx
+  FROM toks
+),
+ch AS (
+  SELECT doc_id, source, CAST(chunk_idx AS INT) AS chunk_idx,
+         array_to_string(t[chunk_idx * {BP_W} + 1 : chunk_idx * {BP_W} + {BP_W}], ' ') AS chunk
+  FROM idx
+),
+df AS (
+  SELECT source, chunk, COUNT(DISTINCT doc_id) AS df
+  FROM ch GROUP BY 1, 2
+),
+j AS (
+  SELECT c.doc_id, c.chunk_idx, c.chunk, d.df
+  FROM ch c JOIN df d ON c.source = d.source AND c.chunk = d.chunk
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN df >= {BP_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       COALESCE(string_agg(CASE WHEN df < {BP_MIN_DF} THEN chunk END, ' ' ORDER BY chunk_idx), '') AS clean_text
+FROM j GROUP BY doc_id
+"""
+
+
 # --- sequence packing into fixed token blocks --------------------------------
 #
 # The GPT-style pretrain pack: concatenate every document's tokens in
@@ -1605,6 +1702,7 @@ CURATION_QUERIES = {
     "approx_distinct_accuracy": (approx_distinct_accuracy, APPROX_DISTINCT_SQL),
     "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
     "dedup_paragraphs": (dedup_paragraphs, DEDUP_PARAGRAPHS_SQL),
+    "boilerplate_strip": (boilerplate_strip, BOILERPLATE_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "url_canonicalize": (url_canonicalize, URL_CANON_SQL),
     "url_policy_filter": (url_policy_filter, URL_POLICY_SQL),

@@ -88,6 +88,33 @@ def test_dedup_paragraphs_no_duplicate_kept_chunks(spark):
         assert r["n_kept"] == len(kept)
 
 
+def test_boilerplate_strip_planted_templates(spark):
+    # a 2-token "line" shared by >= BP_MIN_DF docs of ONE host is
+    # stripped from that host only; the same line on a smaller host
+    # survives (doc frequency is per-source, not global)
+    from doclayout_yolo_spark.queries_curation import (
+        BP_MIN_DF,
+        boilerplate_strip_df,
+    )
+
+    tmpl = "cookie banner"
+    rows = []
+    for i in range(BP_MIN_DF):          # big host: template everywhere
+        rows.append((i, "hostA", f"{tmpl} unique{i} tokA{i}"))
+    for i in range(BP_MIN_DF - 1):      # small host: same line, below df
+        rows.append((100 + i, "hostB", f"{tmpl} unique{i} tokB{i}"))
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in boilerplate_strip_df(d).collect()}
+    for i in range(BP_MIN_DF):
+        r = out[i]
+        assert r["n_chunks"] == 2 and r["n_boiler"] == 1
+        assert r["clean_text"] == f"unique{i} tokA{i}"
+    for i in range(BP_MIN_DF - 1):
+        r = out[100 + i]
+        assert r["n_boiler"] == 0
+        assert r["clean_text"] == f"{tmpl} unique{i} tokB{i}"
+
+
 def test_pagerank_mass_conservation(spark):
     from doclayout_yolo_spark.queries_curation import link_graph_pagerank
 

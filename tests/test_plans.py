@@ -281,6 +281,18 @@ def test_dedup_paragraphs_single_scan_no_broadcast(spark):
     assert "BroadcastExchange" not in plan
 
 
+def test_boilerplate_strip_single_scan_two_exchanges(spark):
+    # one pruned parquet scan; both windows (lag doc-marker + df sum)
+    # share the single (source, chunk) exchange; nothing corpus-sized
+    # is broadcast
+    from doclayout_yolo_spark.queries_curation import boilerplate_strip
+
+    plan = plan_of(boilerplate_strip(spark, SF_DIR), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "BroadcastExchange" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_pagerank_no_windows_broadcast_count(spark):
     # iterative PageRank must stay window-free (dst-keyed aggregations
     # + id-keyed joins only); the corpus count joins in via broadcast
