@@ -665,6 +665,15 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
         w = bytes([ch])
     if w:
         emit(table[w], width)
+        # the DECODER adds a table entry after reading this final code
+        # (it cannot know no more data follows) and applies its
+        # maxcode-1 widen rule before reading the next code — so EOD
+        # must be emitted at the width the decoder will read it with,
+        # else a boundary landing exactly on the last data code makes
+        # the decoder read a 10-bit EOD the encoder wrote in 9 bits
+        # (found by the round-trip property fuzz).
+        if next_code + early >= (1 << width) - 1 and width < 12:
+            width += 1
     emit(257, width)
     if nbits:
         out.append((buf << (8 - nbits)) & 0xFF)

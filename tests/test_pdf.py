@@ -533,6 +533,23 @@ def test_lzw_iso_spec_vector():
     assert _lzw_decode(_lzw_encode(raw)) == raw
 
 
+def test_lzw_eod_at_width_boundary_roundtrips():
+    # regression: when the table reaches the 9->10-bit widen threshold
+    # exactly at the FINAL data code, the decoder (maxcode-1 rule)
+    # widens after its post-read add while the encoder did no add —
+    # EOD must be emitted at the widened width.  253 incompressible
+    # bytes put next_code at 510 on the last code (was: decoder read a
+    # 10-bit 514 where the encoder wrote a 9-bit EOD).
+    import random
+
+    from doclayout_yolo_spark.pdf import _lzw_decode, _lzw_encode
+
+    rng = random.Random(0)
+    for n in (252, 253, 254):
+        raw = bytes(rng.randrange(256) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(raw)) == raw
+
+
 def test_lzw_width_change_roundtrip_large():
     # enough distinct digrams to cross the 9->10->11 bit width bumps,
     # where a decoder without the "-1 early" rule desyncs
