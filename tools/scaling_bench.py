@@ -137,13 +137,18 @@ sum over url+extracted_text) identical at all three levels:
 **{"YES" if deterministic else "NO — INVESTIGATE"}**.
 
 Secondary pair local[8] -> local[32]: {eff_8_32:.3f} — limited by the
-sandbox host, not the job: the 32 vCPUs are oversubscribed
-(cumulative steal time in /proc/stat ~40% of user time; a pure-Python
-CPU probe with plain multiprocessing — no Spark — peaks around 16-24
-processes and REGRESSES at 32, e.g. Mops/s ladder 2:29, 4:61, 8:97,
-16:164, 24:192, 32:160).  The job itself is embarrassingly parallel
-(independent per-bucket Arrow kernels after one hash shuffle), so on
-real hardware the 8->32 pair tracks the 2->8 one.
+sandbox and the fixture size, not the job.  (a) Host windows vary: the
+32 vCPUs are oversubscribed and contaminated windows show ~40%
+/proc/stat steal with a no-Spark multiprocessing probe REGRESSING at
+32 procs (Mops 2:29 ... 24:192, 32:160); quiet windows scale the same
+probe 2:67, 8:243, 32:781 (11.6x).  (b) Even in a quiet window, 4000
+docs / 128 tasks = ~31 docs per task, so per-task fixed overhead
+(Arrow round-trip, scheduling) caps the 32-core wall — the SAME job
+on the 10x corpus (60k docs) sustains ~6,600 docs/s at local[32]
+(BENCH/extract_scale.json), ~6x this table's 32-core figure.  The job
+itself is embarrassingly parallel (independent per-bucket Arrow
+kernels after one hash shuffle), so on real hardware with real
+per-task payloads the 8->32 pair tracks the 2->8 one.
 
 Tuning in force: each run pinned to exactly N CPUs via
 `taskset` (an honest "N-core cluster" — unpinned, the JVM's
