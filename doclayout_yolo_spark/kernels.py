@@ -280,15 +280,19 @@ def postprocess_batch(
     Three structural shortcuts keep the batched work proportional to
     the *surviving* detections, each with an identity argument:
 
-    - Docs with ``a > max_det`` anchors route to the scalar path, so
-      stage-1 truncation never fires in the batch (big docs amortize
-      their own per-doc overhead anyway).
+    - Stage-1 truncation (``a > max_det`` anchors) happens in-batch:
+      ``p_of`` is exactly the scalar path's stable ``argsort(-per_
+      anchor)`` rank, so dropping rows with ``p_of >= max_det`` IS the
+      scalar top-``k1`` anchor selection (real Common-Crawl pages at
+      ~25 KB routinely exceed 300 anchors — routing them scalar made
+      the batch path miss the pages that dominate kernel time).
     - The stage-2 flat sort runs only over above-``conf_thres`` pairs
       (plus class filters — both are pure masks, so folding them in
       commutes).  Scalar truncates the flat list to ``k2 = min(max_det,
-      a*nc)`` BEFORE masking, so a doc where more than ``k2`` pairs
-      clear the threshold could lose above-conf pairs to truncation;
-      those docs (counted per doc before sorting) route scalar.
+      k1*nc)`` BEFORE masking, so a doc where more than ``k2`` pairs
+      (among its stage-1 survivors) clear the threshold could lose
+      above-conf pairs to truncation; those docs (counted per doc
+      before sorting) route scalar.
     - The stage-2 output order within a doc — ``(-conf, flat-index)``
       — IS the order NMS's stable ``argsort(-scores)`` produces on it,
       so no third sort exists.
@@ -311,7 +315,7 @@ def postprocess_batch(
     idxs: list[int] = []
     for d, (_, sc) in enumerate(docs):
         a = len(np.asarray(sc))
-        if a == 0 or a > max_det:
+        if a == 0:
             _scalar(d)
         else:
             idxs.append(d)
@@ -327,10 +331,30 @@ def postprocess_batch(
     counts = np.array([len(np.asarray(docs[d][1])) for d in idxs], dtype=np.int64)
     nd = len(idxs)
     nc = S.shape[1]
-
-    # conf prefilter + truncation-violation routing (see docstring)
-    above = S > np.float32(conf_thres)
     doc_of = np.repeat(np.arange(nd, dtype=np.int64), counts)
+    starts = np.zeros(nd, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    seq = np.arange(len(doc_of), dtype=np.int64)
+    # original within-doc anchor index — carried explicitly because
+    # stage-1 truncation below may drop rows, shifting positions
+    aloc = seq - starts[doc_of]
+
+    # ---- stage 1 (v10_topk): p_of is each anchor's rank under the
+    # scalar path's stable argsort(-per_anchor); dropping rows with
+    # p_of >= max_det IS the scalar top-k1 anchor selection.
+    per_anchor = S.max(axis=1)
+    order1 = np.lexsort((-per_anchor, doc_of))
+    p_of = np.empty(len(seq), dtype=np.int64)
+    p_of[order1] = aloc  # doc_of[order1] == doc_of (grouped)
+    if (counts > max_det).any():
+        m1 = p_of < max_det
+        A, S, doc_of, p_of, aloc = A[m1], S[m1], doc_of[m1], p_of[m1], aloc[m1]
+        counts = np.minimum(counts, max_det)
+
+    # conf prefilter + stage-2 truncation-violation routing (see
+    # docstring); counts is k1 here, so the threshold is min(max_det,
+    # k1*nc) exactly as the scalar path truncates
+    above = S > np.float32(conf_thres)
     above_per_doc = np.bincount(
         doc_of, weights=above.sum(axis=1), minlength=nd
     ).astype(np.int64)
@@ -341,22 +365,13 @@ def postprocess_batch(
         good = ~viol
         keep_rows = good[doc_of]
         A, S, above = A[keep_rows], S[keep_rows], above[keep_rows]
+        p_of, aloc = p_of[keep_rows], aloc[keep_rows]
         idxs = [d for d, ok in zip(idxs, good) if ok]
         counts = counts[good]
         nd = len(idxs)
         if nd == 0:
             return out
         doc_of = np.repeat(np.arange(nd, dtype=np.int64), counts)
-    starts = np.zeros(nd, dtype=np.int64)
-    np.cumsum(counts[:-1], out=starts[1:])
-
-    # ---- stage 1 (v10_topk): with a <= max_det every anchor survives;
-    # the sort only fixes each anchor's stage-2 tie-break rank p.
-    per_anchor = S.max(axis=1)
-    order1 = np.lexsort((-per_anchor, doc_of))
-    seq = np.arange(len(doc_of), dtype=np.int64)
-    p_of = np.empty(len(seq), dtype=np.int64)
-    p_of[order1] = seq - starts[doc_of]  # doc_of[order1] == doc_of (grouped)
 
     # ---- stage 2: sort only the masked pairs by (doc, -conf, p*nc+cls)
     colmask = np.ones(nc, dtype=bool)
@@ -375,7 +390,7 @@ def postprocess_batch(
     cls = cols[order2].astype(np.int64)
     doc2 = doc2[order2]
     anchors_global = rows[order2]
-    anchor_local = anchors_global - starts[doc2]
+    anchor_local = aloc[anchors_global]
     boxes = xywh2xyxy(A[anchors_global])
 
     # ---- per-class NMS, rank-vectorized across docs.  IoU rows are

@@ -124,9 +124,9 @@ def test_postprocess_batch_random_differential(tie_quant):
 
 
 def test_postprocess_batch_scalar_routes():
-    """Docs that must take the scalar path inside the batch: empty,
-    > max_det anchors (stage-1 truncation), and > k2 above-conf pairs
-    (stage-2 truncation) — mixed with ordinary docs."""
+    """Edge docs mixed with ordinary ones: empty, > max_det anchors
+    (stage-1 truncation, handled in-batch), and > k2 above-conf pairs
+    (stage-2 truncation violation — the one remaining scalar route)."""
     rng = np.random.default_rng(3)
     docs = _rand_docs(rng, 10, 40)
     # stage-1 truncation doc: 400 anchors > MAX_DET
@@ -150,6 +150,39 @@ def test_postprocess_batch_scalar_routes():
     )
     _assert_dets_equal(scalar, batch)
     del big
+
+
+@pytest.mark.parametrize("tie_quant", [None, 4, 16])
+def test_postprocess_batch_heavy_docs_stage1_truncation(tie_quant):
+    """Docs straddling max_det anchors (250..900 vs 300) — stage-1
+    truncation now runs IN-BATCH (p_of < max_det is the scalar top-k1
+    selection); real ~25 KB pages routinely exceed 300 anchors, so
+    this is the hot shape on crawl data."""
+    rng = np.random.default_rng(42 if tie_quant else 43)
+    docs = []
+    for _ in range(30):
+        a = int(rng.integers(250, 900))
+        boxes = np.stack(
+            [
+                rng.uniform(0, 800, a),
+                rng.uniform(0, 4000, a),
+                rng.uniform(1, 400, a),
+                rng.uniform(1, 200, a),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        scores = rng.uniform(0, 1, (a, 10)).astype(np.float32)
+        if tie_quant:
+            scores = np.round(scores * tie_quant) / np.float32(tie_quant)
+        docs.append((boxes, scores))
+    scalar = [
+        postprocess(b, s, CONF_THRES, IOU_THRES, MAX_DET, (ABANDON_CLS,))
+        for b, s in docs
+    ]
+    batch = postprocess_batch(
+        docs, CONF_THRES, IOU_THRES, MAX_DET, (ABANDON_CLS,)
+    )
+    _assert_dets_equal(scalar, batch)
 
 
 def test_postprocess_batch_keep_classes():
