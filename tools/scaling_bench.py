@@ -84,6 +84,33 @@ def run_at(cpus: int, n: int) -> dict:
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
 
 
+def _cotenancy_probe(n_procs: int = 8, seconds: float = 1.5) -> float:
+    """Mops/s of an n-proc pure-Python spin — a no-Spark control run
+    IMMEDIATELY before each repetition so every rep carries evidence
+    of the host window it ran in (quiet windows on this box measure
+    ~240 Mops at 8 procs; contaminated ones drop 30%+ and inflate the
+    2-core leg disproportionately, tanking the efficiency ratio)."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.time()
+        c = 0
+        while time.time() - t0 < seconds:
+            for _ in range(10000):
+                c += 1
+        q.put(c)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q,)) for _ in range(n_procs)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    tot = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return tot / (time.time() - t0) / 1e6
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     # co-tenant load on this oversubscribed host swings per-level walls
@@ -96,7 +123,9 @@ def main() -> None:
     # host window, efficiency is computed per repetition, and the
     # MEDIAN repetition is reported with every repetition disclosed.
     reps = []
+    probes = []
     for _rep in range(REPS):
+        probes.append(round(_cotenancy_probe(), 1))
         rep_res = {c: run_at(c, n) for c in LADDER}
         rep_eff = (
             rep_res[8]["docs_per_sec"] / rep_res[2]["docs_per_sec"]
@@ -130,7 +159,10 @@ rule's "N vs 4N executors" criterion (no real cluster available).
 
 **Primary N->4N pair: local[2] -> local[8], efficiency
 (T_8/T_2)/4 = {eff_2_8:.3f}** (target >= 0.8; MEDIAN of {REPS}
-ladder repetitions, all repetitions: {all_effs}).
+ladder repetitions, all repetitions: {all_effs}; per-rep co-tenancy
+probe — 8-proc pure-Python Mops measured immediately before each rep,
+~240 = quiet window on this box, 30%+ lower = contaminated:
+{probes}).
 
 Cross-parallelism determinism: output digest (order-insensitive md5
 sum over url+extracted_text) identical at all three levels:
@@ -162,7 +194,7 @@ pool pre-warmed outside the timed section, best-of-2 timing.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"eff_2_8": eff_2_8, "eff_8_32": eff_8_32, "all_rep_effs": all_effs,
+    print(json.dumps({"eff_2_8": eff_2_8, "eff_8_32": eff_8_32, "all_rep_effs": all_effs, "probes_mops8": probes,
                       "deterministic": deterministic, "results": results}))
 
 
