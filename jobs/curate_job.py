@@ -1,5 +1,6 @@
-"""spark-submit entry point for the corpus-curation funnel: paragraph
-dedup -> quality gate -> sequence packing, writing a block-partitioned
+"""spark-submit entry point for the corpus-curation funnel:
+[host boilerplate strip ->] [near-dup collapse ->] paragraph dedup ->
+quality gate -> sequence packing, writing a block-partitioned
 training-corpus table with a stats line — the batch companion to
 jobs/extract_job.py for the post-extraction half of the 100 TB
 pipeline.
@@ -39,6 +40,14 @@ def main(stop_session: bool = True) -> None:
         " cluster's minimum doc_id) before paragraph dedup — the full"
         " corpus_curation_v3 chain as a runnable job",
     )
+    p.add_argument(
+        "--boilerplate",
+        action="store_true",
+        help="strip host-level template lines (token windows appearing"
+        " in >= BP_MIN_DF docs of one source) BEFORE any dedup — the"
+        " CCNet template pass; runs first so nav/footer chunks never"
+        " enter the shingle/chunk-hash space",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -53,9 +62,24 @@ def main(stop_session: bool = True) -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     docs = spark.read.parquet(f"{args.input}/documents.parquet").select(
-        "doc_id", "text"
+        "doc_id", "text", "source"
     )
     n_in = docs.count()
+
+    bp_stats = {"n_boiler_chunks_dropped": 0}
+    bp = None
+    if args.boilerplate:
+        from doclayout_yolo_spark.queries_curation import boilerplate_strip_df
+
+        # persisted: the stats agg and the downstream funnel both
+        # consume the stripped table (the docfreq windows are the
+        # expensive part — never execute them twice)
+        bp = boilerplate_strip_df(docs).persist()
+        bp_stats["n_boiler_chunks_dropped"] = int(
+            bp.agg(F.sum("n_boiler")).first()[0] or 0
+        )
+        docs = bp.select("doc_id", F.col("clean_text").alias("text"))
+    docs = docs.select("doc_id", "text")
 
     nd_stats = {
         "n_neardup_dropped": 0,
@@ -105,10 +129,13 @@ def main(stop_session: bool = True) -> None:
     gated.unpersist()
     if args.neardup:
         docs.unpersist()
+    if bp is not None:
+        bp.unpersist()
     print(
         json.dumps(
             {
                 "n_input_docs": n_in,
+                **bp_stats,
                 **nd_stats,
                 "n_output_docs": agg["n_docs"],
                 "total_tokens": int(agg["total_tokens"] or 0),

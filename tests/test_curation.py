@@ -304,6 +304,63 @@ def test_curate_job_neardup_flag_drops_cluster_losers(
     assert got == {1, 5, 7}
 
 
+def test_curate_job_boilerplate_flag_strips_templates(
+    spark, tmp_path_factory, monkeypatch
+):
+    # --boilerplate runs the CCNet-style host-template pass FIRST: a
+    # BP_W-token window shared by >= BP_MIN_DF docs of one source never
+    # reaches the packed output; unique body text survives verbatim
+    import curate_job
+
+    base = tmp_path_factory.mktemp("bpjob")
+    # template = one BP_W-aligned window ("nav footer") planted at the
+    # head of every doc of source s; bodies are unique and long enough
+    # to clear the quality gate after stripping
+    tmpl = "nav footer"
+    rows = []
+    for i in range(6):  # 6 >= BP_MIN_DF=5 docs share the template
+        body = " ".join(f"body{i}w{j} extra{i}w{j}" for j in range(8))
+        rows.append((i, tmpl + " " + body))
+    rows.append((99, " ".join(f"solo{j} uniq{j}" for j in range(8))))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["s"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(f"{base}/documents.parquet")
+    out = str(base / "out")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["curate_job.py", "--input", str(base), "--output", out,
+         "--min-tokens", "4", "--boilerplate"],
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        curate_job.main(stop_session=False)
+    import json as _json
+
+    stats = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    got = spark.read.parquet(out).collect()
+    texts = {r["doc_id"]: r["dedup_text"] for r in got}
+    # every template-carrying doc survives but the template window is gone
+    for i in range(6):
+        assert i in texts
+        assert "nav footer" not in texts[i]
+        assert f"body{i}w0" in texts[i]
+    assert "solo0" in texts[99]
+    # the stats ledger reports exactly the 6 dropped template chunks
+    assert stats["n_boiler_chunks_dropped"] == 6
+    assert stats["n_input_docs"] == 7
+    assert stats["n_output_docs"] == 7
+
+
 def test_zorder_layout_gives_two_dimensional_locality(spark):
     # writing range-partitioned by zvalue must confine any single
     # src_key (and any single len_key band) to a small set of the 32
