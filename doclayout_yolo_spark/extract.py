@@ -573,6 +573,97 @@ def extract_outlinks(url: str, html: bytes | str) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
+# page metadata extraction (title / description / canonical / lang)
+# ---------------------------------------------------------------------------
+
+_TITLE_RE = re.compile(r"<\s*title[^>]*>(.*?)</\s*title\s*>", re.I | re.S)
+_MD_META_RE = re.compile(r"<\s*meta\s" + _ATTRS + ">", re.I | re.S)
+_LINK_TAG_RE = re.compile(r"<\s*link\s" + _ATTRS + ">", re.I | re.S)
+_HTML_TAG_RE = re.compile(r"<\s*html\s" + _ATTRS + ">", re.I | re.S)
+_WS_RUN_RE = re.compile(r"\s+")
+
+
+def _attr(attrs: str, name: str) -> str | None:
+    """Value of attribute ``name`` inside a tag's attribute string —
+    quoted or bare, first occurrence, attribute-position anchored
+    (same discipline as _HREF_RE so data-content can't shadow
+    content)."""
+    m = re.search(
+        r"""(?:^|[\s"'])"""
+        + name
+        + r"""\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+        attrs,
+        re.I,
+    )
+    if m is None:
+        return None
+    return m.group(2) or m.group(3) or m.group(4) or ""
+
+
+def _clean_meta(v: str) -> str:
+    return _WS_RUN_RE.sub(" ", unescape(v)).strip()
+
+
+def extract_page_metadata(url: str, html: bytes | str) -> dict:
+    """Page-level metadata every archive pipeline carries next to the
+    extracted text: ``<title>``, meta description, ``og:title``,
+    resolved ``<link rel=canonical>``, and the ``<html lang>``
+    attribute.  First occurrence wins per field; absent fields are
+    None; values are entity-unescaped with whitespace runs collapsed.
+    gzip/charset handling is shared with the content path
+    (inflate_if_gzip + decode_html), and like the frontier leg this is
+    a total function — undecodable bytes yield an all-None row, never
+    a task failure."""
+    from urllib.parse import urljoin  # noqa: PLC0415
+
+    if isinstance(html, (bytes, bytearray)):
+        try:
+            html = inflate_if_gzip(html)
+        except Exception:  # noqa: BLE001
+            html = bytes(html)
+        html = decode_html(html)
+    title = description = og_title = canonical = lang = None
+    tm = _TITLE_RE.search(html)
+    if tm is not None:
+        title = _clean_meta(tm.group(1))
+    for m in _MD_META_RE.finditer(html):
+        attrs = m.group(1)
+        if description is None:
+            n = _attr(attrs, "name")
+            if n is not None and n.strip().lower() == "description":
+                description = _clean_meta(_attr(attrs, "content") or "")
+        if og_title is None:
+            p = _attr(attrs, "property")
+            if p is not None and p.strip().lower() == "og:title":
+                og_title = _clean_meta(_attr(attrs, "content") or "")
+        if description is not None and og_title is not None:
+            break
+    for m in _LINK_TAG_RE.finditer(html):
+        attrs = m.group(1)
+        rel = _attr(attrs, "rel")
+        if rel is not None and rel.strip().lower() == "canonical":
+            href = (_attr(attrs, "href") or "").strip()
+            if href:
+                try:
+                    canonical = urljoin(url, unescape(href))
+                except ValueError:
+                    canonical = None
+            break
+    hm = _HTML_TAG_RE.search(html)
+    if hm is not None:
+        lv = _attr(hm.group(1), "lang")
+        if lv is not None and lv.strip():
+            lang = lv.strip()
+    return {
+        "title": title,
+        "description": description,
+        "og_title": og_title,
+        "canonical": canonical,
+        "lang": lang,
+    }
+
+
+# ---------------------------------------------------------------------------
 # 2. deterministic flow layout
 # ---------------------------------------------------------------------------
 

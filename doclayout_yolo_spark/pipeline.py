@@ -550,6 +550,54 @@ def extract_outlinks_df(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(kern, schema=OUTLINKS_DDL)
 
 
+METADATA_DDL = (
+    "url string, title string, description string, og_title string,"
+    " canonical string, lang string"
+)
+
+
+def extract_metadata_df(pages: DataFrame) -> DataFrame:
+    """(url, html) pages -> one metadata row per page via the shared
+    extractor (extract.extract_page_metadata — gzip + charset handling
+    identical to the content path).  Map-only, zero shuffle; a
+    poisoned page yields an all-None row rather than failing the task
+    (P9 parity)."""
+
+    def kern(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from .extract import extract_page_metadata  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for u, h in zip(pdf["url"], pdf["html"]):
+                try:
+                    md = extract_page_metadata(
+                        u, bytes(h) if h is not None else b""
+                    )
+                except Exception:  # noqa: BLE001 — quarantine parity
+                    md = {}
+                rows.append(
+                    {
+                        "url": u,
+                        "title": md.get("title"),
+                        "description": md.get("description"),
+                        "og_title": md.get("og_title"),
+                        "canonical": md.get("canonical"),
+                        "lang": md.get("lang"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "title", "description", "og_title",
+                    "canonical", "lang",
+                ],
+            )
+
+    return pages.select("url", "html").mapInPandas(kern, schema=METADATA_DDL)
+
+
 # ---------------------------------------------------------------------------
 # skew-aware host aggregation (salting exemplar, P9)
 # ---------------------------------------------------------------------------
@@ -578,3 +626,100 @@ def host_stats(pages: DataFrame, n_salts: int = 16) -> DataFrame:
         .agg(F.sum("c").alias("n_pages"), F.sum("b").alias("total_html_bytes"))
         .orderBy(F.desc("n_pages"), "host")
     )
+
+
+# ---------------------------------------------------------------------------
+# host-graph PageRank (crawl prioritization over the outlink frontier)
+# ---------------------------------------------------------------------------
+
+
+def pagerank_df(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    handle_dangling: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a weighted ``(src, dst, w)`` host
+    graph — the crawl-prioritization consumer of the outlink frontier
+    (``extract_outlinks_df``).  Output: one row per host, columns
+    ``(host, pr)`` with Σpr = 1.
+
+    Scale shape (|hosts| ~ 10^8 at crawl scale — far too big to
+    broadcast or collect, tiny next to |docs|): each iteration is ONE
+    equi-join of the rank vector to the edge list on ``src`` (both
+    sides hash-partitioned on the join key; the edge side's shuffle is
+    reused across iterations because the edge subtree is identical
+    every round and Spark's ReuseExchange dedups identical exchanges
+    in the final plan) plus ONE ``groupBy(dst)`` with map-side partial
+    aggregation.  No driver-side actions, collects, or persists — the
+    whole ``iters``-deep recurrence is a single lazy plan.
+
+    Dangling hosts (no out-edges) leak rank mass; the leaked mass is
+    recovered as ``1 - Σ contributions`` (rank mass is conserved, so
+    the contributions' total is exactly the non-dangling share), read
+    from the same aggregation via a one-row cross join.  That second
+    reference to the contribution subtree would double the LOGICAL
+    plan every round (2^iters analysis blowup), so the dangling path
+    truncates lineage with an eager ``localCheckpoint`` per iteration
+    — the standard Spark shape for iterative algorithms; the
+    checkpointed frame is the |hosts|-row rank vector, not the edge
+    list.  With ``handle_dangling=False`` (use when the graph is known
+    dangling-free, e.g. every host link-reciprocated by construction)
+    the whole recurrence stays one lazy, action-free, linear plan.
+    """
+    # the static side (edge transitions, host list, n) is referenced by
+    # EVERY iteration; a lazy chain would re-derive it — and whatever
+    # upstream corpus scan/extraction produced the edges — once per
+    # iteration.  Materialize it once with an eager localCheckpoint:
+    # the recurrence then references checkpointed partitions, the
+    # upstream runs exactly once, and storage is released with the
+    # frames (no persist bookkeeping).  localCheckpoint is lost on
+    # executor failure — acceptable for a rank job that simply reruns.
+    edges = edges.localCheckpoint(eager=True)
+    hosts = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_df = hosts.agg(F.count("*").cast("double").alias("n"))
+    # per-src out-mass ow = Σw; the per-edge contribution is computed
+    # as (pr * w) / ow — the SAME association order as the oracle's
+    # `p.pr * ew.w / outw.ow`, so cross-engine drift is summation
+    # order only (~1 ulp, far under the 6-dp rounding)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    trans = (
+        edges.join(outw, "src")
+        .select("src", "dst", "w", "ow")
+        .localCheckpoint(eager=True)
+    )
+    ranks = hosts.crossJoin(F.broadcast(n_df)).select(
+        "host", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(trans, ranks.host == trans.src)
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("pr") * F.col("w") / F.col("ow")).alias("contrib")
+            )
+        )
+        base = hosts.join(
+            contrib, hosts.host == contrib.dst, "left"
+        ).select("host", F.coalesce("contrib", F.lit(0.0)).alias("contrib"))
+        if handle_dangling:
+            total = contrib.agg(F.sum("contrib").alias("tot"))
+            base = base.crossJoin(F.broadcast(total))
+            inflow = F.col("contrib") + (F.lit(1.0) - F.col("tot")) / F.col("n")
+        else:
+            inflow = F.col("contrib")
+        ranks = base.crossJoin(F.broadcast(n_df)).select(
+            "host",
+            (
+                (F.lit(1.0) - F.lit(damping)) / F.col("n")
+                + F.lit(damping) * inflow
+            ).alias("pr"),
+        )
+        if handle_dangling:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

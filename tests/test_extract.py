@@ -373,3 +373,52 @@ def test_second_pass_review_fixes():
     # corrupt gzip: frontier total, zero links
     corrupt = gzip.compress(b'<a href="/x">y</a>')[:-5] + b"\x00"
     assert extract_outlinks(u, corrupt) == []
+
+
+def test_extract_page_metadata_fields_and_edges():
+    from doclayout_yolo_spark.extract import extract_page_metadata
+
+    u = "https://site.example.org/a/b"
+    h = (
+        '<HTML Lang="pt-BR"><head>\n'
+        "<TITLE> O  Mundo &eacute;\tgrande </TITLE>"
+        "<meta content='resumo &amp; tal' name='Description'>"
+        '<meta name="description" content="second — must not win">'
+        "<META PROPERTY='og:title' CONTENT='og resumo'>"
+        '<link href="/css" rel="stylesheet">'
+        "<link rel='Canonical' href='../canon?x=1'>"
+        '<link rel="canonical" href="/second-must-not-win">'
+        "</head><body></body></html>"
+    )
+    md = extract_page_metadata(u, h.encode())
+    assert md["title"] == "O Mundo é grande"  # unescape + ws collapse
+    assert md["description"] == "resumo & tal"  # first wins, any attr order
+    assert md["og_title"] == "og resumo"
+    assert md["canonical"] == "https://site.example.org/canon?x=1"
+    assert md["lang"] == "pt-BR"
+
+
+def test_extract_page_metadata_absent_gzip_and_poison():
+    import gzip
+
+    from doclayout_yolo_spark.extract import extract_page_metadata
+
+    # absent fields are None (never ""), gzip bodies inflate first
+    h = gzip.compress(b"<html><head><title>T</title></head></html>")
+    md = extract_page_metadata("https://x.example.org/", h)
+    assert md["title"] == "T"
+    assert (
+        md["description"] is None
+        and md["og_title"] is None
+        and md["canonical"] is None
+        and md["lang"] is None
+    )
+    # total function on garbage and on a malformed canonical authority
+    assert extract_page_metadata("https://x.example.org/", b"\x00\xff")[
+        "title"
+    ] is None
+    bad = b'<link rel="canonical" href="http://[::bad/">'
+    assert (
+        extract_page_metadata("https://x.example.org/", bad)["canonical"]
+        is None
+    )

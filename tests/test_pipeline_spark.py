@@ -201,6 +201,42 @@ def test_host_stats_salted_agg_correct(spark, pages_df):
     assert max(got.values()) > 3 * min(got.values())  # skew actually present
 
 
+def test_pagerank_dangling_matches_numpy_power_iteration(spark):
+    # pagerank_df(handle_dangling=True) on a graph WITH a dangling
+    # node (d has no out-edges) must match the dense NumPy power
+    # iteration with uniform dangling-mass redistribution
+    import numpy as np
+
+    from doclayout_yolo_spark.pipeline import pagerank_df
+
+    #   a -> b (2), a -> c (1), b -> c (1), c -> d (1); d dangles
+    edges = spark.createDataFrame(
+        [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)],
+        "src string, dst string, w double",
+    )
+    iters, damp = 6, 0.85
+    got = {
+        r["host"]: r["pr"]
+        for r in pagerank_df(edges, iters=iters, damping=damp).collect()
+    }
+    hosts = ["a", "b", "c", "d"]
+    T = np.zeros((4, 4))  # T[i, j] = mass share j -> i
+    T[1, 0], T[2, 0] = 2 / 3, 1 / 3
+    T[2, 1] = 1.0
+    T[3, 2] = 1.0
+    r = np.full(4, 0.25)
+    for _ in range(iters):
+        contrib = T @ r
+        dangling = 1.0 - contrib.sum()  # == r[d], mass conservation
+        r = (1 - damp) / 4 + damp * (contrib + dangling / 4)
+    for i, h in enumerate(hosts):
+        assert abs(got[h] - r[i]) < 1e-12, (h, got[h], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # rank mass conserved
+    # the dangling node's rank actually recirculates: a gets more than
+    # the teleport floor
+    assert got["a"] > (1 - damp) / 4 + 1e-6
+
+
 def test_kernel_version_reprocessing(spark, tmp_path_factory):
     # Iceberg snapshot-evolution analog: after a kernel upgrade, only
     # buckets stamped with the old version are re-extracted, via

@@ -372,3 +372,22 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_pagerank_recurrence_references_checkpointed_statics(spark):
+    # host_pagerank's 5-iteration recurrence must NOT re-derive the
+    # edge side per iteration: the outlink-extraction MapInPandas and
+    # the documents scan run once at build (eager localCheckpoint) and
+    # the final plan references only checkpointed RDD scans — bounded
+    # exchange count, no extraction kernel, no parquet re-scan
+    import re
+
+    from doclayout_yolo_spark.queries_detect import host_pagerank
+
+    plan = plan_of(host_pagerank(spark, SF_DIR))
+    assert "MapInPandas" not in plan
+    assert "parquet" not in plan.lower()
+    assert "Scan ExistingRDD" in plan
+    # ~5 exchange nodes per iteration (contrib shuffle + broadcasts);
+    # a lazy un-checkpointed chain measured 78
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) < 40
