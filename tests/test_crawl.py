@@ -83,3 +83,80 @@ def test_sitemap_parsing_urlset_index_gzip_and_cap():
         MAX_SITEMAP_ENTRIES + 5
     ) + b"</urlset>"
     assert len(parse_sitemap(big)) == MAX_SITEMAP_ENTRIES
+
+
+def test_crawl_job_end_to_end(spark, tmp_path_factory, monkeypatch):
+    # the spark-submit frontier job: outlinks -> robots filter ->
+    # pagerank join, with an audit ledger (no silent drops)
+    import os
+    import sys
+
+    _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.join(_REPO, "jobs") not in sys.path:
+        sys.path.insert(0, os.path.join(_REPO, "jobs"))
+    import crawl_job
+
+    base = tmp_path_factory.mktemp("crawljob")
+    # 3-host ring: a -> b, b -> c, c -> a; page on a also links to
+    # a robots-blocked path on b
+    rows = []
+    ring = {"a": "b", "b": "c", "c": "a"}
+    for h, nxt in ring.items():
+        html = (
+            f'<p><a href="https://{nxt}.example.com/page">n</a> '
+            + (
+                f'<a href="https://b.example.com/private/1">x</a>'
+                if h == "a"
+                else ""
+            )
+            + "</p>"
+        )
+        rows.append((f"https://{h}.example.com/", html.encode()))
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    pages.write.parquet(f"{base}/pages")
+    robots = spark.createDataFrame(
+        [("b.example.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, body string",
+    )
+    robots.write.parquet(f"{base}/robots")
+    out = f"{base}/frontier"
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["crawl_job.py", "--input", f"{base}/pages", "--output", out,
+         "--robots", f"{base}/robots", "--iters", "4"],
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        crawl_job.main(stop_session=False)
+    stats = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    got = spark.read.parquet(out).collect()
+    targets = {r["target"] for r in got}
+    # the ring survives; the disallowed target is dropped but audited
+    assert targets == {
+        "https://b.example.com/page",
+        "https://c.example.com/page",
+        "https://a.example.com/page",
+    }
+    assert stats["n_disallowed"] == 1
+    assert stats["n_links"] == 4
+    assert stats["n_frontier_rows"] == 3
+    # symmetric ring => equal ranks summing to 1
+    prs = {r["host"]: r["host_pr"] for r in got}
+    assert all(abs(v - 1 / 3) < 1e-9 for v in prs.values()), prs
+    # --keep-disallowed carries the blocked row with allowed=false
+    monkeypatch.setattr(
+        sys, "argv",
+        ["crawl_job.py", "--input", f"{base}/pages", "--output",
+         f"{base}/f2", "--robots", f"{base}/robots", "--keep-disallowed"],
+    )
+    with redirect_stdout(io.StringIO()):
+        crawl_job.main(stop_session=False)
+    kept = spark.read.parquet(f"{base}/f2").collect()
+    blocked = [r for r in kept if not r["allowed"]]
+    assert len(kept) == 4 and len(blocked) == 1
+    assert blocked[0]["target"] == "https://b.example.com/private/1"
+    assert blocked[0]["matched"] == "disallow:/private/"
