@@ -936,26 +936,40 @@ def _assemble_regions(
     regions: list[Region] = []
     pieces: list[str] = []
     cursor = 0
-    for det in dets:
-        block_i = int(det["anchor"]) // JITTERS_PER_BLOCK
+    # field-wise .tolist() up front: per-row structured-scalar access
+    # (det["x1"] etc.) dominated the kernel's assemble stage; tolist
+    # converts float32 -> nearest double exactly like float(scalar),
+    # and round() stays the Python builtin, so values are
+    # bit-identical to the scalar loop (golden + differential pinned)
+    anchors = dets["anchor"].tolist()
+    clss = dets["cls"].tolist()
+    confs = dets["conf"].tolist()
+    x1s = dets["x1"].tolist()
+    y1s = dets["y1"].tolist()
+    x2s = dets["x2"].tolist()
+    y2s = dets["y2"].tolist()
+    sep_len = len(SEPARATOR)
+    for k in range(len(anchors)):
+        block_i = int(anchors[k]) // JITTERS_PER_BLOCK
         if block_i in seen:
             continue
         seen.add(block_i)
         b = blocks[block_i]
         if not b.text:
             continue
-        start = cursor if not pieces else cursor + len(SEPARATOR)
+        start = cursor if not pieces else cursor + sep_len
         end = start + len(b.text)
+        cls_k = int(clss[k])
         regions.append(
             Region(
                 region_id=len(regions),
-                cls=int(det["cls"]),
-                name=DOCSTRUCTBENCH_10[int(det["cls"])],
-                conf=round(float(det["conf"]), 5),  # summary(decimals=5), results.py:388-430
-                x1=round(float(det["x1"]), 5),
-                y1=round(float(det["y1"]), 5),
-                x2=round(float(det["x2"]), 5),
-                y2=round(float(det["y2"]), 5),
+                cls=cls_k,
+                name=DOCSTRUCTBENCH_10[cls_k],
+                conf=round(confs[k], 5),  # summary(decimals=5), results.py:388-430
+                x1=round(x1s[k], 5),
+                y1=round(y1s[k], 5),
+                x2=round(x2s[k], 5),
+                y2=round(y2s[k], 5),
                 start=start,
                 end=end,
                 text=b.text,
