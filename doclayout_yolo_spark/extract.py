@@ -58,6 +58,9 @@ def _norm_ws(s: str) -> str:
     # whitespace — including \x1c-\x1f, which Python's \s matches and
     # PDF octal escapes can produce — falls through to the full
     # normalization, so output is identical by construction.
+    # (NOTE: a single-regex guard was tried and measured 5.6x SLOWER
+    # than these chained substring checks on real block text — str
+    # `in` is a memchr-speed C scan, the regex NFA is per-char.)
     if (
         s.isascii()
         and "  " not in s
