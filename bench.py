@@ -56,6 +56,8 @@ HEADLINE = [
     "lang_id_v2",
     "simhash64_sig_pairs",
     "extract_pages_charsets",
+    "host_pagerank",
+    "robots_policy_filter",
 ]
 
 N_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000"))
