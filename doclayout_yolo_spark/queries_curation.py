@@ -678,6 +678,136 @@ SELECT doc_id, COUNT(*) AS n_triangles FROM m GROUP BY doc_id
 """
 
 
+# --- BPE merge learning (tokenizer training) ---------------------------------
+
+# Fixed planted sentence: every doc contributes the same text, so the
+# merge sequence is invariant to corpus size (argmax unchanged by the
+# uniform xN scaling) while pair counts scale by COUNT(documents) —
+# which keeps the oracle closed-form.  The sentence is chosen to
+# exercise both the frequency path (th: 7, the: 5) and the
+# count-1 tie-break ladder (lexicographic smallest (lhs, rhs)).
+BPE_SENT = "the theme of the theory is thin thread the"
+BPE_MERGES = 8
+
+
+def _bpe_merge_expr(a: str, b: str) -> str:
+    """SQL expression merging adjacent (a, b) symbol pairs
+    leftmost-first non-overlapping — the exact pass of the classic
+    BPE trainer — as a single JVM-side ``aggregate`` scan with an
+    (out, pending) accumulator.  No UDF."""
+    qa = a.replace("'", "''")
+    qb = b.replace("'", "''")
+    qab = (a + b).replace("'", "''")
+    return f"""
+    aggregate(
+      sym,
+      struct(cast(array() as array<string>) AS out, cast(null as string) AS pend),
+      (acc, s) -> CASE
+        WHEN acc.pend IS NULL THEN struct(acc.out AS out, s AS pend)
+        WHEN acc.pend = '{qa}' AND s = '{qb}'
+          THEN struct(array_append(acc.out, '{qab}') AS out,
+                      cast(null as string) AS pend)
+        ELSE struct(array_append(acc.out, acc.pend) AS out, s AS pend)
+      END,
+      acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+                  ELSE array_append(acc.out, acc.pend) END
+    )"""
+
+
+def bpe_learn_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training: learn the first
+    ``BPE_MERGES`` merge rules over the corpus, the way production
+    BPE trainers do it — ONE corpus-wide (word, count) aggregation,
+    then every merge round runs over the VOCAB-sized table only
+    (symbols exploded to adjacent pairs -> weighted pair counts ->
+    argmax with a deterministic (count desc, lhs, rhs) tie-break ->
+    leftmost-first merge pass as a JVM ``aggregate`` lambda, no UDF).
+    Per round: one bounded single-row collect (the argmax) and an
+    eager localCheckpoint of the tiny vocab (same recurrence
+    discipline as pagerank_df — the corpus is never rescanned).  At
+    100 TB the corpus cost is the one word-count shuffle; rounds cost
+    |vocab|.  Output: (merge_rank, lhs, rhs, new_token, pair_count).
+    Cross-checked against an independent pure-Python BPE in
+    tests/test_curation.py; the contract oracle is the planted
+    sentence's merge table with counts scaling by COUNT(documents).
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    words = (
+        d.select(F.explode(F.split(F.lit(BPE_SENT), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return bpe_learn_from_words(spark, words, BPE_MERGES)
+
+
+def bpe_learn_from_words(spark, words, k: int):
+    """DF-level core of :func:`bpe_learn_merges` over any (w, cnt)
+    word-count frame — the form a tokenizer-training job composes
+    after its own corpus word count."""
+    vocab = words.select(
+        F.expr("filter(split(w, ''), x -> x != '')").alias("sym"), "cnt"
+    ).localCheckpoint(eager=True)
+    merges = []
+    for r in range(k):
+        pair_counts = (
+            vocab.select(
+                "cnt",
+                F.expr(
+                    "transform(slice(sym, 1, size(sym) - 1),"
+                    " (x, i) -> struct(x AS a, sym[i + 1] AS b))"
+                ).alias("ps"),
+            )
+            .select(F.explode("ps").alias("p"), "cnt")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        top = pair_counts.orderBy(F.desc("pc"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        best = top[0]
+        a, b = best["a"], best["b"]
+        merges.append((r, a, b, a + b, int(best["pc"])))
+        vocab = (
+            vocab.select(F.expr(_bpe_merge_expr(a, b)).alias("sym"), "cnt")
+            .groupBy("sym")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, new_token string,"
+        " pair_count bigint",
+    )
+
+
+def _bpe_oracle_sql() -> str:
+    """Closed-form oracle: the planted sentence's merge table (derived
+    by the independent pure-Python BPE in tests/test_curation.py),
+    pair counts scaled by the doc count."""
+    rows = [
+        (0, "t", "h", "th", 7),
+        (1, "th", "e", "the", 5),
+        (2, "a", "d", "ad", 1),
+        (3, "e", "ad", "ead", 1),
+        (4, "i", "n", "in", 1),
+        (5, "i", "s", "is", 1),
+        (6, "m", "e", "me", 1),
+        (7, "o", "f", "of", 1),
+    ]
+    selects = [
+        f"SELECT {r} AS merge_rank, '{a}' AS lhs, '{b}' AS rhs,"
+        f" '{ab}' AS new_token, {c} * n.c AS pair_count FROM n"
+        for r, a, b, ab, c in rows
+    ]
+    return (
+        "WITH n AS (SELECT COUNT(*) AS c FROM documents)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+BPE_LEARN_SQL = _bpe_oracle_sql()
+
+
 # --- Unicode NFC normalization -----------------------------------------------
 #
 # The first step of any real text-curation pipeline (combining marks ->
@@ -1709,6 +1839,7 @@ CURATION_QUERIES = {
     "link_graph_pagerank": (link_graph_pagerank, PAGERANK_SQL),
     "link_graph_triangles": (link_graph_triangles, TRIANGLES_SQL),
     "nfc_normalize": (nfc_normalize, NFC_SQL),
+    "bpe_learn_merges": (bpe_learn_merges, BPE_LEARN_SQL),
     "weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
     "warc_roundtrip": (warc_roundtrip, WARC_SQL),
     "http_envelope_roundtrip": (http_envelope_roundtrip, HTTP_ROUNDTRIP_SQL),

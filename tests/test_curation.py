@@ -470,3 +470,75 @@ def test_randomized_differential_text_family(spark, tmp_path_factory):
             "lsh_bucket_cap_audit", "chunk_passages", "url_policy_filter",
         ],
     )
+
+
+def _ref_bpe(word_counts, k):
+    # independent pure-Python BPE (no Spark, no shared code): the
+    # classic trainer — overlapping pair counts, (count desc, lhs,
+    # rhs) tie-break, leftmost-first non-overlapping merge pass
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(k):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, a + b, cnt))
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges
+
+
+def test_bpe_distributed_matches_reference_on_arbitrary_corpus(spark):
+    # a corpus with repeated-char runs (aaa -> non-overlapping merge),
+    # apostrophes (SQL quoting), and skewed counts
+    from doclayout_yolo_spark.queries_curation import bpe_learn_from_words
+
+    wc = {
+        "banana": 4,
+        "bandana": 2,
+        "aaa": 3,
+        "can't": 1,
+        "nana": 5,
+        "ban": 2,
+    }
+    words = spark.createDataFrame(list(wc.items()), "w string, cnt long")
+    got = [
+        (r["lhs"], r["rhs"], r["new_token"], r["pair_count"])
+        for r in bpe_learn_from_words(spark, words, 6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    want = [(a, b, ab, c) for a, b, ab, c in _ref_bpe(wc, 6)]
+    assert got == want, (got, want)
+
+
+def test_bpe_contract_merges_match_reference_of_planted_sentence():
+    from doclayout_yolo_spark.queries_curation import BPE_MERGES, BPE_SENT
+
+    wc = {}
+    for w in BPE_SENT.split(" "):
+        wc[w] = wc.get(w, 0) + 1
+    ref = _ref_bpe(wc, BPE_MERGES)
+    # the oracle literals in _bpe_oracle_sql must equal the reference
+    from doclayout_yolo_spark.queries_curation import _bpe_oracle_sql
+
+    sql = _bpe_oracle_sql()
+    for r, (a, b, ab, c) in enumerate(ref):
+        assert f"SELECT {r} AS merge_rank, '{a}' AS lhs, '{b}' AS rhs, '{ab}' AS new_token, {c} * n.c AS pair_count" in sql
