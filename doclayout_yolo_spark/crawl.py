@@ -48,6 +48,10 @@ def parse_robots(body: str, agent: str = "*") -> list[tuple[str, str]]:
     empty) rule list.
     """
     agent = agent.lower()
+    # a leading UTF-8 BOM (common in wild robots.txt) would otherwise
+    # break the FIRST directive's line match and silently drop the
+    # first group header
+    body = body.lstrip("\ufeff")
     # pass 1: (agent_tokens, rules) per group
     groups: list[tuple[list[str], list[tuple[str, str]]]] = []
     cur_agents: list[str] = []

@@ -695,9 +695,14 @@ def _bpe_merge_expr(a: str, b: str) -> str:
     leftmost-first non-overlapping — the exact pass of the classic
     BPE trainer — as a single JVM-side ``aggregate`` scan with an
     (out, pending) accumulator.  No UDF."""
-    qa = a.replace("'", "''")
-    qb = b.replace("'", "''")
-    qab = (a + b).replace("'", "''")
+    # tokens are corpus text: escape backslash FIRST (Spark SQL string
+    # literals treat it as an escape char by default), then quotes
+    def _q(t: str) -> str:
+        return t.replace("\\", "\\\\").replace("'", "''")
+
+    qa = _q(a)
+    qb = _q(b)
+    qab = _q(a + b)
     return f"""
     aggregate(
       sym,

@@ -160,3 +160,10 @@ def test_crawl_job_end_to_end(spark, tmp_path_factory, monkeypatch):
     assert len(kept) == 4 and len(blocked) == 1
     assert blocked[0]["target"] == "https://b.example.com/private/1"
     assert blocked[0]["matched"] == "disallow:/private/"
+
+
+def test_robots_utf8_bom_first_group_survives():
+    from doclayout_yolo_spark.crawl import parse_robots
+
+    body = "﻿User-agent: *\nDisallow: /x/\n"
+    assert parse_robots(body) == [("disallow", "/x/")]

@@ -542,3 +542,17 @@ def test_bpe_contract_merges_match_reference_of_planted_sentence():
     sql = _bpe_oracle_sql()
     for r, (a, b, ab, c) in enumerate(ref):
         assert f"SELECT {r} AS merge_rank, '{a}' AS lhs, '{b}' AS rhs, '{ab}' AS new_token, {c} * n.c AS pair_count" in sql
+
+
+def test_bpe_tokens_with_backslash_and_quote_survive_sql_quoting(spark):
+    from doclayout_yolo_spark.queries_curation import bpe_learn_from_words
+
+    wc = {"a\\b": 3, "a\\b'c": 2, "a'a": 2}
+    words = spark.createDataFrame(list(wc.items()), "w string, cnt long")
+    got = [
+        (r["lhs"], r["rhs"], r["new_token"], r["pair_count"])
+        for r in bpe_learn_from_words(spark, words, 3)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == [(a, b, ab, c) for a, b, ab, c in _ref_bpe(wc, 3)], got
