@@ -20,6 +20,7 @@ acquisition tier, not a reference port.
 from __future__ import annotations
 
 import re
+from html import unescape
 
 # ---------------------------------------------------------------------------
 # robots.txt (RFC 9309 subset)
@@ -148,11 +149,15 @@ def parse_sitemap(body: bytes | str) -> list[tuple[str, str, str | None]]:
         lm = _SM_LOC_RE.search(inner)
         if lm is None:
             continue
-        loc = lm.group(1)
+        # sitemaps.org REQUIRES entity-escaped data values, so
+        # '&amp;' in a <loc> is the normal encoding of a query-string
+        # url — unescape, matching the outlink extractor's treatment
+        # of hrefs (a frontier url must be fetchable as carried)
+        loc = unescape(lm.group(1))
         if not loc:
             continue
         mm = _SM_LASTMOD_RE.search(inner)
-        out.append((kind, loc, mm.group(1) if mm else None))
+        out.append((kind, loc, unescape(mm.group(1)) if mm else None))
     return out
 
 
@@ -210,13 +215,26 @@ def robots_filter_df(urls, rules):
     per url is bounded by its host's rule count."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    # host normalization: hosts are case-insensitive and the rules
+    # table is keyed by lowercase port-less host (the repo-wide host
+    # key, cf. queries_extra's F.lower + [^/:?#] extraction) — without
+    # it a mixed-case or :port link would silently bypass disallow
+    # rules (fail-open).  An authority-only url ("https://h", no
+    # slash) has path '/', per RFC 9309 / every production parser.
     parts = urls.select(
         "url",
-        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
-        F.regexp_extract("url", r"^https?://[^/]+(/.*)?$", 1).alias("path"),
+        F.lower(
+            F.regexp_extract("url", r"^https?://([^/:?#]+)", 1)
+        ).alias("host"),
+        F.when(
+            F.regexp_extract("url", r"^https?://[^/]+(/.*)?$", 1) == "",
+            F.lit("/"),
+        )
+        .otherwise(F.regexp_extract("url", r"^https?://[^/]+(/.*)?$", 1))
+        .alias("path"),
     )
     r = rules.select(
-        F.col("host").alias("r_host"), "directive", "prefix"
+        F.lower(F.col("host")).alias("r_host"), "directive", "prefix"
     )
     joined = parts.join(
         r,

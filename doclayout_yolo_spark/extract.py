@@ -631,14 +631,21 @@ def extract_page_metadata(url: str, html: bytes | str) -> dict:
         title = _clean_meta(tm.group(1))
     for m in _MD_META_RE.finditer(html):
         attrs = m.group(1)
+        # a matching name/property WITHOUT a content attribute is no
+        # value at all — it must neither emit '' nor consume the
+        # first-occurrence-wins slot of a later real tag
         if description is None:
             n = _attr(attrs, "name")
             if n is not None and n.strip().lower() == "description":
-                description = _clean_meta(_attr(attrs, "content") or "")
+                c = _attr(attrs, "content")
+                if c is not None:
+                    description = _clean_meta(c)
         if og_title is None:
             p = _attr(attrs, "property")
             if p is not None and p.strip().lower() == "og:title":
-                og_title = _clean_meta(_attr(attrs, "content") or "")
+                c = _attr(attrs, "content")
+                if c is not None:
+                    og_title = _clean_meta(c)
         if description is not None and og_title is not None:
             break
     for m in _LINK_TAG_RE.finditer(html):

@@ -749,9 +749,17 @@ def bpe_learn_from_words(spark, words, k: int):
     """DF-level core of :func:`bpe_learn_merges` over any (w, cnt)
     word-count frame — the form a tokenizer-training job composes
     after its own corpus word count."""
-    vocab = words.select(
-        F.expr("filter(split(w, ''), x -> x != '')").alias("sym"), "cnt"
-    ).localCheckpoint(eager=True)
+    # empty words (consecutive delimiters upstream) have ZERO symbols:
+    # they contribute no pairs and can never merge, but size(sym)-1 =
+    # -1 would crash the slice in the pair transform — drop them (the
+    # pure-Python reference is invariant to this, pinned by test)
+    vocab = (
+        words.where(F.col("w") != "")
+        .select(
+            F.expr("filter(split(w, ''), x -> x != '')").alias("sym"), "cnt"
+        )
+        .localCheckpoint(eager=True)
+    )
     merges = []
     for r in range(k):
         pair_counts = (

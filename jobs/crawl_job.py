@@ -18,7 +18,9 @@ Local smoke:
 
 Output schema: (target, src_url, link_pos, allowed, matched,
 host, host_pr) — one row per extracted outlink, PageRank of the
-TARGET host joined on (broadcast: the rank vector is hosts-sized),
+TARGET host joined on (plain equi-join; AQE broadcasts while the
+rank vector is small and shuffles when a real crawl's host set
+outgrows the threshold),
 disallowed targets dropped unless --keep-disallowed (then carried
 with allowed=false for audit).  A stats JSON line goes to stdout:
 input pages, links, distinct hosts, disallowed count (no silent
@@ -78,11 +80,13 @@ def main(stop_session: bool = True) -> None:
     n_pages = pages.count()
     # one extraction pass feeds BOTH the rank graph and the frontier
     links = extract_outlinks_df(pages).localCheckpoint(eager=True)
-    host_re = r"^https?://([^/]+)"
+    # lowercase port-less host key (repo-wide normalization): a
+    # mixed-case link must not split a rank node or dodge its robots
+    host_re = r"^https?://([^/:?#]+)"
     edges = (
         links.select(
-            F.regexp_extract("url", host_re, 1).alias("src"),
-            F.regexp_extract("target", host_re, 1).alias("dst"),
+            F.lower(F.regexp_extract("url", host_re, 1)).alias("src"),
+            F.lower(F.regexp_extract("target", host_re, 1)).alias("dst"),
         )
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("w"))
@@ -93,7 +97,7 @@ def main(stop_session: bool = True) -> None:
         F.col("target"),
         F.col("url").alias("src_url"),
         "link_pos",
-        F.regexp_extract("target", host_re, 1).alias("host"),
+        F.lower(F.regexp_extract("target", host_re, 1)).alias("host"),
     )
     n_disallowed = 0
     if args.robots:
@@ -116,9 +120,12 @@ def main(stop_session: bool = True) -> None:
             "matched", F.lit(None).cast("string")
         )
 
-    # rank vector is hosts-sized: broadcast the join
+    # rank vector is hosts-sized but NOT broadcast-hinted: at the
+    # 10^12-page tier the host set (~10^8) outgrows any broadcast
+    # threshold (pagerank_df's own scale model) — a plain equi-join
+    # lets AQE broadcast when small and shuffle when not
     out = frontier.join(
-        F.broadcast(ranks.select(F.col("host"), F.col("pr").alias("host_pr"))),
+        ranks.select(F.col("host"), F.col("pr").alias("host_pr")),
         "host",
         "left",
     ).select(

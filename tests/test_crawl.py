@@ -167,3 +167,36 @@ def test_robots_utf8_bom_first_group_survives():
 
     body = "﻿User-agent: *\nDisallow: /x/\n"
     assert parse_robots(body) == [("disallow", "/x/")]
+
+
+def test_sitemap_loc_entities_unescaped():
+    from doclayout_yolo_spark.crawl import parse_sitemap
+
+    sm = b"<urlset><url><loc>https://h/p?a=1&amp;b=2</loc></url></urlset>"
+    assert parse_sitemap(sm) == [("url", "https://h/p?a=1&b=2", None)]
+
+
+def test_robots_filter_normalizes_host_and_empty_path(spark):
+    from doclayout_yolo_spark.crawl import robots_filter_df, robots_rules_df
+
+    robots = spark.createDataFrame(
+        [("b.example.com", "User-agent: *\nDisallow: /\n")],
+        "host string, body string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://B.Example.com/private/1",),  # mixed case
+            ("https://b.example.com:443/x",),      # explicit port
+            ("https://b.example.com",),            # authority-only -> path /
+            ("https://other.example.com/x",),
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: (r["allowed"], r["matched"])
+        for r in robots_filter_df(urls, robots_rules_df(robots)).collect()
+    }
+    assert got["https://B.Example.com/private/1"] == (False, "disallow:/")
+    assert got["https://b.example.com:443/x"] == (False, "disallow:/")
+    assert got["https://b.example.com"] == (False, "disallow:/")
+    assert got["https://other.example.com/x"] == (True, None)

@@ -422,3 +422,13 @@ def test_extract_page_metadata_absent_gzip_and_poison():
         extract_page_metadata("https://x.example.org/", bad)["canonical"]
         is None
     )
+
+
+def test_metadata_missing_content_attr_does_not_block_later_tag():
+    from doclayout_yolo_spark.extract import extract_page_metadata
+
+    h = (b'<meta name="description"><meta name="description" content="real">'
+         b'<meta property="og:title"><meta property="og:title" content="og">')
+    md = extract_page_metadata("https://x.example.org/", h)
+    assert md["description"] == "real"
+    assert md["og_title"] == "og"
