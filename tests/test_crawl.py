@@ -200,3 +200,71 @@ def test_robots_filter_normalizes_host_and_empty_path(spark):
     assert got["https://b.example.com:443/x"] == (False, "disallow:/")
     assert got["https://b.example.com"] == (False, "disallow:/")
     assert got["https://other.example.com/x"] == (True, None)
+
+
+# --- property fuzz: the crawl parsers are total functions ----------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(st.text(max_size=400), st.text(max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_parse_robots_total_and_well_formed(body, agent):
+    from doclayout_yolo_spark.crawl import parse_robots
+
+    rules = parse_robots(body, agent or "*")
+    for d, p in rules:
+        assert d in ("allow", "disallow")
+        assert isinstance(p, str) and p != ""
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=200, deadline=None)
+def test_parse_sitemap_total_on_arbitrary_bytes(data):
+    from doclayout_yolo_spark.crawl import parse_sitemap
+
+    for kind, loc, lastmod in parse_sitemap(data):
+        assert kind in ("url", "sitemap")
+        assert isinstance(loc, str) and loc
+        assert lastmod is None or isinstance(lastmod, str)
+
+
+@given(st.binary(max_size=600), st.text(min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_extract_page_metadata_total_on_arbitrary_bytes(data, url):
+    from doclayout_yolo_spark.extract import extract_page_metadata
+
+    md = extract_page_metadata(url, data)
+    assert set(md) == {"title", "description", "og_title", "canonical", "lang"}
+    for v in md.values():
+        assert v is None or isinstance(v, str)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["allow", "disallow"]),
+            st.text(min_size=1, max_size=8),
+        ),
+        max_size=8,
+    ),
+    st.text(max_size=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_robots_allowed_matches_bruteforce(rules, path):
+    # independent brute-force: best (len, allow-wins) among matching
+    from doclayout_yolo_spark.crawl import robots_allowed
+
+    matching = [(d, p) for d, p in rules if path.startswith(p)]
+    if not matching:
+        assert robots_allowed(rules, path) == (True, None)
+    else:
+        best = max(
+            matching, key=lambda dp: (len(dp[1]), dp[0] == "allow")
+        )
+        allowed, matched = robots_allowed(rules, path)
+        assert allowed == (best[0] == "allow")
+        # matched rule has the winning length and directive
+        d, p = matched.split(":", 1)
+        assert len(p) == len(best[1]) and d == best[0]
