@@ -29,6 +29,44 @@ from html import unescape
 _DIRECTIVE_RE = re.compile(r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*$")
 
 
+def _select_groups(
+    body: str, agent: str
+) -> list[list[tuple[str, str]]]:
+    """§2.2.1 group scan + selection shared by :func:`parse_robots`
+    and :func:`parse_crawl_delay`: returns the selected groups'
+    (directive, value) lists — specific-agent groups win and suppress
+    the ``*`` groups; comments stripped; leading UTF-8 BOM (common in
+    wild robots.txt) removed so the first group header survives."""
+    agent = agent.lower()
+    body = body.lstrip("\ufeff")
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    cur_agents: list[str] = []
+    cur_directives: list[tuple[str, str]] = []
+    in_agent_run = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0]
+        m = _DIRECTIVE_RE.match(line)
+        if m is None:
+            continue
+        key, val = m.group(1).lower(), m.group(2)
+        if key == "user-agent":
+            if not in_agent_run:
+                if cur_agents:
+                    groups.append((cur_agents, cur_directives))
+                cur_agents, cur_directives = [], []
+                in_agent_run = True
+            cur_agents.append(val.strip().lower())
+        else:
+            in_agent_run = False
+            if cur_agents:
+                cur_directives.append((key, val))
+    if cur_agents:
+        groups.append((cur_agents, cur_directives))
+    specific = [g for g in groups if agent != "*" and agent in g[0]]
+    selected = specific or [g for g in groups if "*" in g[0]]
+    return [d for _, d in selected]
+
+
 def parse_robots(body: str, agent: str = "*") -> list[tuple[str, str]]:
     """Rules applying to ``agent`` from a robots.txt body, in file
     order: ``[(directive, path_prefix)]`` with directive in
@@ -48,39 +86,31 @@ def parse_robots(body: str, agent: str = "*") -> list[tuple[str, str]]:
     user-agent run.  Total function: any text yields a (possibly
     empty) rule list.
     """
-    agent = agent.lower()
-    # a leading UTF-8 BOM (common in wild robots.txt) would otherwise
-    # break the FIRST directive's line match and silently drop the
-    # first group header
-    body = body.lstrip("\ufeff")
-    # pass 1: (agent_tokens, rules) per group
-    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
-    cur_agents: list[str] = []
-    cur_rules: list[tuple[str, str]] = []
-    in_agent_run = False
-    for raw in body.splitlines():
-        line = raw.split("#", 1)[0]
-        m = _DIRECTIVE_RE.match(line)
-        if m is None:
-            continue
-        key, val = m.group(1).lower(), m.group(2)
-        if key == "user-agent":
-            if not in_agent_run:
-                if cur_agents:
-                    groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
-                in_agent_run = True
-            cur_agents.append(val.strip().lower())
-        else:
-            in_agent_run = False
-            if key in ("allow", "disallow") and val and cur_agents:
-                cur_rules.append((key, val))
-    if cur_agents:
-        groups.append((cur_agents, cur_rules))
-    # pass 2: §2.2.1 selection — exact-agent groups, else '*' groups
-    specific = [g for g in groups if agent != "*" and agent in g[0]]
-    selected = specific or [g for g in groups if "*" in g[0]]
-    return [rule for _, rules in selected for rule in rules]
+    rules: list[tuple[str, str]] = []
+    for directives in _select_groups(body, agent):
+        for key, val in directives:
+            if key in ("allow", "disallow") and val:
+                rules.append((key, val))
+    return rules
+
+
+def parse_crawl_delay(
+    body: str, agent: str = "*", default: float = 1.0
+) -> float:
+    """Effective ``Crawl-delay`` (seconds) for ``agent`` — the same
+    §2.2.1 group selection as :func:`parse_robots` (specific-agent
+    groups suppress ``*`` groups), first value in the selected groups
+    wins, clamped to [0, 3600]; absent/unparseable values fall back
+    to ``default``.  Crawl-delay is a de-facto extension (not RFC
+    9309) but the politeness scheduler needs ONE number per host."""
+    for directives in _select_groups(body, agent):
+        for key, val in directives:
+            if key == "crawl-delay":
+                try:
+                    return min(max(float(val), 0.0), 3600.0)
+                except ValueError:
+                    continue
+    return default
 
 
 def robots_allowed(
@@ -298,4 +328,68 @@ def sitemap_entries_df(sitemaps):
 
     return sitemaps.select("sm_url", "body").mapInPandas(
         kern, schema=SITEMAP_DDL
+    )
+
+
+def crawl_delays_df(robots, agent: str = "*", default: float = 1.0):
+    """(host, body) robots table -> one (host, delay_s) row per host
+    via :func:`parse_crawl_delay`.  Map-only, zero shuffle."""
+
+    def kern(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "delay_s": [
+                        parse_crawl_delay(
+                            b if b is not None else "", agent, default
+                        )
+                        for b in pdf["body"]
+                    ],
+                }
+            )
+
+    return robots.select("host", "body").mapInPandas(
+        kern, schema="host string, delay_s double"
+    )
+
+
+def fetch_schedule_df(urls, delays, default: float = 1.0):
+    """Politeness schedule: one fetch slot per url, sequential per
+    host — slot k of a host fires at ``k * delay_s`` seconds relative
+    to the host's first fetch.  (url) x (host, delay_s) ->
+    (url, host, slot, fetch_offset_s).
+
+    Per-host ROW_NUMBER ordered by url (deterministic), delay joined
+    on the lowercase port-less host key with hosts absent from the
+    robots table falling back to ``default``.  The window partitions
+    by host — exactly the per-host sequential constraint a polite
+    fetcher must serialize anyway; partition width is bounded by the
+    hottest host's url count (same skew envelope as the per-source
+    token-budget window)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    parts = urls.select(
+        "url",
+        F.lower(
+            F.regexp_extract("url", r"^https?://([^/:?#]+)", 1)
+        ).alias("host"),
+    )
+    d = delays.select(
+        F.lower(F.col("host")).alias("d_host"), "delay_s"
+    )
+    j = parts.join(d, parts.host == d.d_host, "left")
+    w = Window.partitionBy("host").orderBy("url")
+    slot = (F.row_number().over(w) - F.lit(1)).alias("slot")
+    return j.select(
+        "url",
+        "host",
+        slot,
+        (
+            (F.row_number().over(w) - F.lit(1))
+            * F.coalesce("delay_s", F.lit(float(default)))
+        ).alias("fetch_offset_s"),
     )

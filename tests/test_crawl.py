@@ -268,3 +268,46 @@ def test_robots_allowed_matches_bruteforce(rules, path):
         # matched rule has the winning length and directive
         d, p = matched.split(":", 1)
         assert len(p) == len(best[1]) and d == best[0]
+
+
+def test_parse_crawl_delay_group_selection_and_clamps():
+    from doclayout_yolo_spark.crawl import parse_crawl_delay
+
+    b = (
+        "﻿User-agent: googlebot\nCrawl-delay: 9\n\n"
+        "User-agent: *\nDisallow: /x/\nCrawl-delay: 2.5\nCrawl-delay: 7\n"
+    )
+    assert parse_crawl_delay(b) == 2.5          # first value in '*' group
+    assert parse_crawl_delay(b, agent="googlebot") == 9.0  # specific wins
+    assert parse_crawl_delay("no robots here") == 1.0      # default
+    assert parse_crawl_delay("", default=3.0) == 3.0
+    assert (
+        parse_crawl_delay("User-agent: *\nCrawl-delay: bogus\nCrawl-delay: 4")
+        == 4.0
+    )
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 99999") == 3600.0
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: -5") == 0.0
+
+
+def test_fetch_schedule_per_host_slots(spark):
+    from doclayout_yolo_spark.crawl import crawl_delays_df, fetch_schedule_df
+
+    robots = spark.createDataFrame(
+        [("a.example.com", "User-agent: *\nCrawl-delay: 2\n")],
+        "host string, body string",
+    )
+    urls = spark.createDataFrame(
+        [("https://a.example.com/1",), ("https://A.Example.com/2",),
+         ("https://b.example.com/1",)],
+        "url string",
+    )
+    rows = {
+        r["url"]: (r["host"], r["slot"], r["fetch_offset_s"])
+        for r in fetch_schedule_df(urls, crawl_delays_df(robots)).collect()
+    }
+    # mixed-case host normalizes into the same per-host queue
+    # (slot order is by raw url string: 'A' < 'a' in ASCII)
+    assert rows["https://A.Example.com/2"] == ("a.example.com", 0, 0.0)
+    assert rows["https://a.example.com/1"] == ("a.example.com", 1, 2.0)
+    # host with no robots row: default 1.0s spacing
+    assert rows["https://b.example.com/1"] == ("b.example.com", 0, 0.0)
