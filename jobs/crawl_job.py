@@ -10,21 +10,26 @@ Usage (cluster):
     spark-submit --py-files dist/doclayout_yolo_spark.zip \
         jobs/crawl_job.py --input <pages path> --output <frontier path> \
         [--robots <robots parquet (host, body)>] [--iters 5] \
-        [--keep-disallowed]
+        [--keep-disallowed] [--sitemaps <parquet (sm_url, body)>] \
+        [--schedule]
 
 Local smoke:
     spark-submit --master local[8] --py-files dist/doclayout_yolo_spark.zip \
         jobs/crawl_job.py --generate 1000 --output /tmp/frontier
 
-Output schema: (target, src_url, link_pos, allowed, matched,
-host, host_pr) — one row per extracted outlink, PageRank of the
+Output schema: (target, src_url, link_pos, via, allowed, matched,
+host, host_pr[, slot, fetch_offset_s]) — one row per discovered url
+(via = 'link' from page outlinks, 'sitemap' from --sitemaps
+documents), PageRank of the
 TARGET host joined on (plain equi-join; AQE broadcasts while the
 rank vector is small and shuffles when a real crawl's host set
 outgrows the threshold),
 disallowed targets dropped unless --keep-disallowed (then carried
-with allowed=false for audit).  A stats JSON line goes to stdout:
-input pages, links, distinct hosts, disallowed count (no silent
-drops).
+with allowed=false for audit).  --schedule appends the politeness
+plan: per-host sequential slot + fetch_offset_s (slot x the host's
+Crawl-delay, default 1 s) over distinct targets.  A stats JSON line
+goes to stdout: input pages, links, sitemap urls, distinct hosts,
+disallowed count (no silent drops).
 """
 
 from __future__ import annotations
@@ -51,6 +56,18 @@ def main(stop_session: bool = True) -> None:
     )
     p.add_argument("--iters", type=int, default=5)
     p.add_argument(
+        "--sitemaps",
+        default=None,
+        help="sitemap documents parquet (sm_url, body): advertised"
+        " urls join the frontier with via='sitemap'",
+    )
+    p.add_argument(
+        "--schedule",
+        action="store_true",
+        help="append the politeness plan (slot, fetch_offset_s) per"
+        " target using each host's Crawl-delay",
+    )
+    p.add_argument(
         "--keep-disallowed",
         action="store_true",
         help="carry robots-disallowed targets with allowed=false"
@@ -61,7 +78,13 @@ def main(stop_session: bool = True) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from doclayout_yolo_spark.crawl import robots_filter_df, robots_rules_df
+    from doclayout_yolo_spark.crawl import (
+        crawl_delays_df,
+        fetch_schedule_df,
+        robots_filter_df,
+        robots_rules_df,
+        sitemap_entries_df,
+    )
     from doclayout_yolo_spark.fixtures import generate_pages_df
     from doclayout_yolo_spark.pipeline import (
         extract_outlinks_df,
@@ -97,7 +120,21 @@ def main(stop_session: bool = True) -> None:
         F.col("target"),
         F.col("url").alias("src_url"),
         "link_pos",
-        F.lower(F.regexp_extract("target", host_re, 1)).alias("host"),
+        F.lit("link").alias("via"),
+    )
+    n_sitemap_urls = 0
+    if args.sitemaps:
+        sm = sitemap_entries_df(spark.read.parquet(args.sitemaps))
+        sm_urls = sm.filter(F.col("kind") == "url").select(
+            F.col("loc").alias("target"),
+            F.col("sm_url").alias("src_url"),
+            F.col("pos").alias("link_pos"),
+            F.lit("sitemap").alias("via"),
+        )
+        n_sitemap_urls = sm_urls.count()
+        frontier = frontier.unionByName(sm_urls)
+    frontier = frontier.withColumn(
+        "host", F.lower(F.regexp_extract("target", host_re, 1))
     )
     n_disallowed = 0
     if args.robots:
@@ -129,9 +166,25 @@ def main(stop_session: bool = True) -> None:
         "host",
         "left",
     ).select(
-        "target", "src_url", "link_pos", "allowed", "matched", "host",
-        "host_pr",
+        "target", "src_url", "link_pos", "via", "allowed", "matched",
+        "host", "host_pr",
     )
+    if args.schedule:
+        delays = (
+            crawl_delays_df(spark.read.parquet(args.robots))
+            if args.robots
+            else spark.createDataFrame([], "host string, delay_s double")
+        )
+        # only ALLOWED targets consume fetch slots: under
+        # --keep-disallowed the blocked rows stay for audit but get
+        # NULL slot/offset (a polite fetcher never queues them)
+        sched = fetch_schedule_df(
+            out.filter(F.col("allowed"))
+            .select(F.col("target").alias("url"))
+            .distinct(),
+            delays,
+        ).select(F.col("url").alias("target"), "slot", "fetch_offset_s")
+        out = out.join(sched, "target", "left")
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)
     print(
@@ -139,6 +192,7 @@ def main(stop_session: bool = True) -> None:
             {
                 "n_input_pages": n_pages,
                 "n_links": links.count(),
+                "n_sitemap_urls": n_sitemap_urls,
                 "n_hosts": ranks.count(),
                 "n_disallowed": n_disallowed,
                 "n_frontier_rows": written.count(),

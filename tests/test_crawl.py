@@ -311,3 +311,72 @@ def test_fetch_schedule_per_host_slots(spark):
     assert rows["https://a.example.com/1"] == ("a.example.com", 1, 2.0)
     # host with no robots row: default 1.0s spacing
     assert rows["https://b.example.com/1"] == ("b.example.com", 0, 0.0)
+
+
+def test_crawl_job_sitemaps_and_schedule(spark, tmp_path_factory, monkeypatch):
+    # --sitemaps unions advertised urls (via='sitemap'); --schedule
+    # appends per-host politeness slots honoring Crawl-delay, and a
+    # kept-disallowed row gets NO slot
+    import io
+    import json as _json
+    import os
+    import sys
+    from contextlib import redirect_stdout
+
+    _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.join(_REPO, "jobs") not in sys.path:
+        sys.path.insert(0, os.path.join(_REPO, "jobs"))
+    import crawl_job
+
+    base = tmp_path_factory.mktemp("crawljob2")
+    pages = spark.createDataFrame(
+        [("https://a.example.com/",
+          b'<p><a href="https://b.example.com/page">n</a></p>')],
+        "url string, html binary",
+    )
+    pages.write.parquet(f"{base}/pages")
+    spark.createDataFrame(
+        [("b.example.com",
+          "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n")],
+        "host string, body string",
+    ).write.parquet(f"{base}/robots")
+    sm_xml = (
+        b"<urlset><url><loc>https://b.example.com/adv1</loc></url>"
+        b"<url><loc>https://b.example.com/adv2</loc></url>"
+        b"<url><loc>https://b.example.com/private/adv3</loc></url></urlset>"
+    )
+    spark.createDataFrame(
+        [("https://b.example.com/sitemap.xml", sm_xml)],
+        "sm_url string, body binary",
+    ).write.parquet(f"{base}/sitemaps")
+    out = f"{base}/frontier"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["crawl_job.py", "--input", f"{base}/pages", "--output", out,
+         "--robots", f"{base}/robots", "--sitemaps", f"{base}/sitemaps",
+         "--schedule", "--keep-disallowed"],
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        crawl_job.main(stop_session=False)
+    stats = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["n_sitemap_urls"] == 3
+    assert stats["n_disallowed"] == 1
+    rows = {r["target"]: r for r in spark.read.parquet(out).collect()}
+    assert rows["https://b.example.com/adv1"]["via"] == "sitemap"
+    assert rows["https://b.example.com/page"]["via"] == "link"
+    # blocked sitemap url kept for audit, but NOT scheduled
+    blocked = rows["https://b.example.com/private/adv3"]
+    assert blocked["allowed"] is False and blocked["slot"] is None
+    # allowed b-host targets share one politeness queue at 2s spacing,
+    # slots ordered by url: adv1 < adv2 < page
+    sched = sorted(
+        (r["slot"], t, r["fetch_offset_s"])
+        for t, r in rows.items()
+        if r["allowed"]
+    )
+    assert sched == [
+        (0, "https://b.example.com/adv1", 0.0),
+        (1, "https://b.example.com/adv2", 2.0),
+        (2, "https://b.example.com/page", 4.0),
+    ]
