@@ -107,9 +107,12 @@ def parse_crawl_delay(
         for key, val in directives:
             if key == "crawl-delay":
                 try:
-                    return min(max(float(val), 0.0), 3600.0)
+                    v = float(val)
                 except ValueError:
                     continue
+                if v != v:  # float('nan') parses but won't clamp
+                    continue
+                return min(max(v, 0.0), 3600.0)
     return default
 
 
@@ -201,6 +204,17 @@ SITEMAP_DDL = (
 )
 
 
+def _body_str(b) -> str:
+    """Robots/sitemap bodies arrive as string OR binary (the repo's
+    fetched-body convention is binary) — coerce fail-open so a typed
+    column never crashes an executor task."""
+    if b is None:
+        return ""
+    if isinstance(b, (bytes, bytearray)):
+        return bytes(b).decode("utf-8", errors="replace")
+    return str(b)
+
+
 def robots_rules_df(robots, agent: str = "*"):
     """(host, body) robots.txt table -> one row per applicable rule
     (host, directive, prefix) via the shared parser.  Map-only, zero
@@ -214,7 +228,7 @@ def robots_rules_df(robots, agent: str = "*"):
             hosts, dirs, prefs = [], [], []
             for h, b in zip(pdf["host"], pdf["body"]):
                 try:
-                    rules = parse_robots(b if b is not None else "", agent)
+                    rules = parse_robots(_body_str(b), agent)
                 except Exception:  # noqa: BLE001
                     rules = []
                 for d, p in rules:
@@ -338,16 +352,19 @@ def crawl_delays_df(robots, agent: str = "*", default: float = 1.0):
     def kern(batches):
         import pandas as pd  # noqa: PLC0415
 
+        def one(b):
+            # fail-open parity with robots_rules_df: any poisoned
+            # body degrades to the default delay, never a task death
+            try:
+                return parse_crawl_delay(_body_str(b), agent, default)
+            except Exception:  # noqa: BLE001
+                return default
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "host": pdf["host"],
-                    "delay_s": [
-                        parse_crawl_delay(
-                            b if b is not None else "", agent, default
-                        )
-                        for b in pdf["body"]
-                    ],
+                    "delay_s": [one(b) for b in pdf["body"]],
                 }
             )
 
@@ -378,18 +395,23 @@ def fetch_schedule_df(urls, delays, default: float = 1.0):
             F.regexp_extract("url", r"^https?://([^/:?#]+)", 1)
         ).alias("host"),
     )
-    d = delays.select(
-        F.lower(F.col("host")).alias("d_host"), "delay_s"
-    )
+    # duplicate host rows (a refetched robots.txt appended to the
+    # table) must not multiply url rows through the join: collapse to
+    # the most conservative (largest) delay per host
+    d = delays.groupBy(
+        F.lower(F.col("host")).alias("d_host")
+    ).agg(F.max("delay_s").alias("delay_s"))
     j = parts.join(d, parts.host == d.d_host, "left")
     w = Window.partitionBy("host").orderBy("url")
-    slot = (F.row_number().over(w) - F.lit(1)).alias("slot")
-    return j.select(
+    slotted = j.select(
         "url",
         "host",
-        slot,
-        (
-            (F.row_number().over(w) - F.lit(1))
-            * F.coalesce("delay_s", F.lit(float(default)))
-        ).alias("fetch_offset_s"),
+        (F.row_number().over(w) - F.lit(1)).alias("slot"),
+        F.coalesce("delay_s", F.lit(float(default))).alias("delay_s"),
+    )
+    return slotted.select(
+        "url",
+        "host",
+        "slot",
+        (F.col("slot") * F.col("delay_s")).alias("fetch_offset_s"),
     )

@@ -125,11 +125,18 @@ def main(stop_session: bool = True) -> None:
     n_sitemap_urls = 0
     if args.sitemaps:
         sm = sitemap_entries_df(spark.read.parquet(args.sitemaps))
-        sm_urls = sm.filter(F.col("kind") == "url").select(
-            F.col("loc").alias("target"),
-            F.col("sm_url").alias("src_url"),
-            F.col("pos").alias("link_pos"),
-            F.lit("sitemap").alias("via"),
+        # checkpoint like `links` above: the job runs several actions
+        # (counts + write) and must not re-parse every sitemap body
+        # per action
+        sm_urls = (
+            sm.filter(F.col("kind") == "url")
+            .select(
+                F.col("loc").alias("target"),
+                F.col("sm_url").alias("src_url"),
+                F.col("pos").alias("link_pos"),
+                F.lit("sitemap").alias("via"),
+            )
+            .localCheckpoint(eager=True)
         )
         n_sitemap_urls = sm_urls.count()
         frontier = frontier.unionByName(sm_urls)

@@ -380,3 +380,39 @@ def test_crawl_job_sitemaps_and_schedule(spark, tmp_path_factory, monkeypatch):
         (1, "https://b.example.com/adv2", 2.0),
         (2, "https://b.example.com/page", 4.0),
     ]
+
+
+def test_crawl_delays_binary_body_and_dup_hosts(spark):
+    # binary robots bodies (the repo's fetched-body convention) must
+    # fail open to a parsed delay, and duplicate host rows collapse
+    # to the most conservative delay instead of multiplying slots
+    from doclayout_yolo_spark.crawl import crawl_delays_df, fetch_schedule_df
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example.com", b"User-agent: *\nCrawl-delay: 2\n"),
+            ("a.example.com", b"User-agent: *\nCrawl-delay: 5\n"),  # refetch
+            ("c.example.com", b"\xff\xfe garbage"),
+        ],
+        "host string, body binary",
+    )
+    urls = spark.createDataFrame(
+        [("https://a.example.com/1",), ("https://a.example.com/2",),
+         ("https://c.example.com/1",)],
+        "url string",
+    )
+    rows = {
+        r["url"]: (r["slot"], r["fetch_offset_s"])
+        for r in fetch_schedule_df(urls, crawl_delays_df(robots)).collect()
+    }
+    assert len(rows) == 3  # no row multiplication from the dup host
+    assert rows["https://a.example.com/1"] == (0, 0.0)
+    assert rows["https://a.example.com/2"] == (1, 5.0)  # max(2, 5)
+    assert rows["https://c.example.com/1"] == (0, 0.0)  # garbage -> default
+
+
+def test_parse_crawl_delay_rejects_nan():
+    from doclayout_yolo_spark.crawl import parse_crawl_delay
+
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: nan") == 1.0
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: inf") == 3600.0
