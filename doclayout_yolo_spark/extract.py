@@ -78,7 +78,7 @@ def _norm_ws(s: str) -> str:
     return _WS_RE.sub(" ", s).strip()
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     idx: int
     tag: str
@@ -99,7 +99,7 @@ class Block:
         return self.link_chars / max(self.total_chars, 1)
 
 
-@dataclass
+@dataclass(slots=True)
 class _OpenBlock:
     tag: str
     tag_path: str
@@ -468,24 +468,28 @@ def parse_blocks(html: bytes | str) -> list[Block]:
             if text:
                 p.handle_data(unescape(text) if "&" in text else text)
             break
-        if m.start() > pos:
-            text = html[pos : m.start()]
+        start = m.start()
+        if start > pos:
+            text = html[pos:start]
             p.handle_data(unescape(text) if "&" in text else text)
         pos = m.end()
-        tag = m.group(2)
+        # one C call for all four groups instead of four (the tokenizer
+        # loop is the parse-stage floor; r6 profile: Match.group was
+        # ~18% of parse tottime)
+        closing, tag, attr_s, selfclose = m.group(1, 2, 3, 4)
         if tag is None:  # comment / doctype / CDATA / processing instr.
             continue
         tag = tag.lower()
-        if m.group(1):  # closing tag
+        if closing:  # closing tag
             p.handle_endtag(tag)
             continue
         attrs = []
         if tag == "img":
-            am = _ALT_RE.search(m.group(3) or "")
+            am = _ALT_RE.search(attr_s or "")
             if am:
                 attrs = [("alt", am.group(2) or am.group(3) or am.group(4) or "")]
         p.handle_starttag(tag, attrs)
-        if m.group(4):  # self-closing
+        if selfclose:  # self-closing
             p.handle_endtag(tag)
         elif tag in _RAWTEXT_CLOSE:
             # raw-text content model: skip to the matching close tag
@@ -717,21 +721,32 @@ def layout_blocks(blocks: list[Block]) -> tuple[np.float32, np.float32]:
     h = (metrics[:, 0] * n_lines).astype(np.float32)
     depth = np.array([min(b.depth, 8) for b in blocks], dtype=np.float32)
     x1 = (MARGIN + np.float32(12.0) * depth).astype(np.float32)
-    # y accumulation: y_{i+1} = (y_i + h_i) + GAP in float32 — replay the
-    # exact two-step adds so results match the scalar loop bit-for-bit
-    y = np.float32(MARGIN)
-    y1 = np.empty(len(blocks), dtype=np.float32)
-    y2 = np.empty(len(blocks), dtype=np.float32)
-    for i in range(len(blocks)):
-        y1[i] = y
-        y2[i] = y + h[i]
-        y = np.float32(y2[i] + BLOCK_GAP)
+    # y accumulation: y_{i+1} = (y_i + h_i) + GAP in float32.  The
+    # scalar loop's rounding sequence is exactly a LEFT-TO-RIGHT
+    # float32 running sum over [MARGIN, h_0, GAP, h_1, GAP, ...]:
+    # acc[2i] = y1_i, acc[2i+1] = y2_i, acc[2n] = final y.
+    # np.add.accumulate on a float32 array performs the identical
+    # sequential same-dtype adds, so every intermediate is
+    # bit-identical to the old per-block loop (pinned by the golden
+    # byte-identity + parser-differential + independent-oracle tests).
+    n = len(blocks)
+    seq = np.empty(2 * n + 1, dtype=np.float32)
+    seq[0] = MARGIN
+    seq[1::2] = h
+    seq[2::2] = BLOCK_GAP
+    acc = np.add.accumulate(seq)
+    y1 = acc[0:-1:2]
+    y2 = acc[1::2]
+    x1l = x1.tolist()
+    y1l = y1.tolist()
+    y2l = y2.tolist()
+    cx2 = float(CONTENT_X2)
     for i, b in enumerate(blocks):
-        b.x1 = float(x1[i])
-        b.x2 = float(CONTENT_X2)
-        b.y1 = float(y1[i])
-        b.y2 = float(y2[i])
-    return PAGE_W, np.float32(y + MARGIN)
+        b.x1 = x1l[i]
+        b.x2 = cx2
+        b.y1 = y1l[i]
+        b.y2 = y2l[i]
+    return PAGE_W, np.float32(acc[-1] + MARGIN)
 
 
 # ---------------------------------------------------------------------------

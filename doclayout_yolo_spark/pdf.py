@@ -38,6 +38,7 @@ self-certifying string reversals.
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 from .extract import Block, _norm_ws
@@ -151,6 +152,13 @@ HEADER_STRIP = 40.0
 TJ_SPACE_KERN = 180.0  # |kern| (thousandths) at/above which TJ reads a space
 
 
+def _unpack_u16be(data: bytes) -> tuple[int, ...]:
+    """All complete big-endian u16 codes of ``data`` (trailing odd
+    byte dropped), via one struct.unpack call."""
+    n = len(data) // 2
+    return struct.unpack(f">{n}H", data[: 2 * n])
+
+
 def _unescape_bytes(raw: bytes) -> bytes:
     out = bytearray()
     i = 0
@@ -173,13 +181,25 @@ def _unescape_bytes(raw: bytes) -> bytes:
     return bytes(out)
 
 
+_WS_SUB = re.compile(rb"\s").sub
+
+
 def _hex_bytes(raw: bytes) -> bytes:
     """Hex-string payload -> bytes (ISO 32000-1 §7.3.4.3: whitespace
-    ignored, odd trailing digit padded with 0)."""
-    h = re.sub(rb"\s", b"", raw)
-    if len(h) % 2:
-        h += b"0"
-    return bytes.fromhex(h.decode("ascii"))
+    ignored, odd trailing digit padded with 0).
+
+    Fast path: ``bytes.fromhex`` directly (it tolerates space-separated
+    byte pairs); any input it rejects — odd digit count, non-space
+    whitespace, intra-pair spaces — falls through to the normalizing
+    slow path, which produces the identical result the old
+    always-normalize version did."""
+    try:
+        return bytes.fromhex(raw.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        h = _WS_SUB(b"", raw)
+        if len(h) % 2:
+            h += b"0"
+        return bytes.fromhex(h.decode("ascii"))
 
 
 # WinAnsiEncoding == cp1252 for the defined codes; the five undefined
@@ -209,10 +229,29 @@ class _Font:
     def decode(self, data: bytes) -> str:
         if self.cmap is not None:
             w = self.code_bytes
+            # C-level code extraction (struct.unpack beats the old
+            # per-code slice + int.from_bytes loop ~3x; r6 profile:
+            # decode was 36% of CID parse wall).  Trailing partial
+            # code bytes are dropped exactly like the old
+            # range(0, len-w+1, w) loop did.
+            if w == 2:
+                codes = _unpack_u16be(data)
+            elif w == 1:
+                codes = data
+            else:
+                codes = [
+                    int.from_bytes(data[i : i + w], "big")
+                    for i in range(0, len(data) - w + 1, w)
+                ]
+            try:
+                # fast path: every code mapped — one C-level map()
+                return "".join(map(self.cmap.__getitem__, codes))
+            except KeyError:
+                pass
             out = []
-            for i in range(0, len(data) - w + 1, w):
-                code = int.from_bytes(data[i : i + w], "big")
-                got = self.cmap.get(code)
+            get = self.cmap.get
+            for code in codes:
+                got = get(code)
                 if got is None:
                     # unmapped CID: chr() of the raw code, EXCEPT the
                     # UTF-16 surrogate range — a lone surrogate in
@@ -285,6 +324,20 @@ def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
                 base = bytes.fromhex(m.group(3).decode("ascii"))
                 base_cp = int.from_bytes(base, "big")
                 nb = len(base)
+                if nb == 2:
+                    # fast path for the ubiquitous 2-byte destination:
+                    # chr() per code instead of to_bytes + utf-16-be
+                    # decode.  Identical output: a BMP non-surrogate
+                    # u16 decodes to chr(cp); a surrogate-range value
+                    # decodes (errors="replace") to one U+FFFD; cp >
+                    # 0xFFFF is the old OverflowError break.
+                    top = min(hi, lo + (0xFFFF - base_cp))
+                    for c in range(lo, top + 1):
+                        cp = base_cp + (c - lo)
+                        cmap[c] = (
+                            "�" if 0xD800 <= cp <= 0xDFFF else chr(cp)
+                        )
+                    continue
                 for c in range(lo, hi + 1):
                     try:
                         dst = (base_cp + (c - lo)).to_bytes(nb, "big")
@@ -922,28 +975,14 @@ def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
             first_size = size
             first_char_sp, first_word_sp = 0.0, 0.0
             for tok in _TOKEN_RE.finditer(bt.group(1)):
-                if tok.group("font") is not None:
-                    size = float(tok.group("size"))
-                    font = fonts.get(tok.group("font"), _DEFAULT_FONT)
-                elif tok.group("a") is not None:
-                    x, y = float(tok.group("e")), float(tok.group("f"))
-                elif tok.group("tx") is not None:
-                    tx, ty = float(tok.group("tx")), float(tok.group("ty"))
-                    if tok.group("tdop") == b"TD":  # §9.4.2: TD sets TL=-ty
-                        leading = -ty
-                    x += tx
-                    y += ty
-                elif tok.group("tl") is not None:
-                    leading = float(tok.group("tl"))
-                elif tok.group("tc") is not None:
-                    char_sp = float(tok.group("tc"))
-                elif tok.group("tw") is not None:
-                    word_sp = float(tok.group("tw"))
-                elif tok.group("tstar") is not None:
-                    y -= leading
-                elif tok.group("text") is not None or tok.group("hextext") is not None:
-                    is_hex = tok.group("hextext") is not None
-                    op = tok.group("hexop") if is_hex else tok.group("showop")
+                # dispatch on the branch's LAST capturing group (one
+                # attribute read) instead of probing up to 8 groups per
+                # token — the r6 profile showed re.Match.group() calls
+                # alone at ~20% of parse wall on CID-heavy documents
+                g = tok.lastgroup
+                if g == "showop" or g == "hexop":
+                    is_hex = g == "hexop"
+                    op = tok.group(g)
                     if op == b"'":  # ' = T* then show
                         y -= leading
                     if first_pos is None:
@@ -955,7 +994,26 @@ def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
                         parts.append(font.decode(_hex_bytes(tok.group("hextext"))))
                     else:
                         parts.append(font.decode(_unescape_bytes(tok.group("text"))))
-                elif tok.group("tjarr") is not None:
+                elif g == "size":
+                    size = float(tok.group("size"))
+                    font = fonts.get(tok.group("font"), _DEFAULT_FONT)
+                elif g == "f":
+                    x, y = float(tok.group("e")), float(tok.group("f"))
+                elif g == "tdop":
+                    tx, ty = float(tok.group("tx")), float(tok.group("ty"))
+                    if tok.group("tdop") == b"TD":  # §9.4.2: TD sets TL=-ty
+                        leading = -ty
+                    x += tx
+                    y += ty
+                elif g == "tl":
+                    leading = float(tok.group("tl"))
+                elif g == "tc":
+                    char_sp = float(tok.group("tc"))
+                elif g == "tw":
+                    word_sp = float(tok.group("tw"))
+                elif g == "tstar":
+                    y -= leading
+                elif g == "tjarr":
                     if first_pos is None:
                         first_pos = (x, y)
                         first_size = size
@@ -963,9 +1021,10 @@ def parse_pdf_blocks(raw: bytes) -> tuple[list[Block], float, float]:
                     last_y = y
                     segs: list[str] = []
                     for item in _TJ_ITEM_RE.finditer(tok.group("tjarr")):
-                        if item.group("s") is not None:
+                        ig = item.lastgroup
+                        if ig == "s":
                             segs.append(font.decode(_unescape_bytes(item.group("s"))))
-                        elif item.group("h") is not None:
+                        elif ig == "h":
                             segs.append(font.decode(_hex_bytes(item.group("h"))))
                         elif float(item.group("n")) <= -TJ_SPACE_KERN:
                             segs.append(" ")
@@ -1221,9 +1280,13 @@ def build_pdf_pages(
     if style == "cid":
         chars = sorted({c for texts in pages for t, *_ in texts for c in t if c != " "})
         code_of = {c: i + 1 for i, c in enumerate(chars)}
+        # pre-formatted 4-hex-digit strings: one dict build per doc
+        # replaces an f-string format per CHARACTER (r6 profile: the
+        # per-char format genexpr was the top synth cost)
+        hex_of = {c: format(i + 1, "04x") for i, c in enumerate(chars)}
 
-        def enc(s, _m=code_of):
-            return "".join(f"{_m[c]:04x}" for c in s)
+        def enc(s, _m=hex_of):
+            return "".join(map(_m.__getitem__, s))
 
         tounicode = _tounicode_cmap(code_of)
     contents: list[bytes] = []

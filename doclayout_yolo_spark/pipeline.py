@@ -173,13 +173,29 @@ def extract_pages(
     num_partitions: int | None = None,
     lineage_acc=None,
 ) -> DataFrame:
-    """Core transform: prune columns, bucket, shuffle, run the fused
-    Arrow kernel.  Returns the extraction DataFrame (lazy)."""
+    """Core transform: prune columns, bucket, run the fused Arrow
+    kernel.  Returns the extraction DataFrame (lazy).
+
+    The kernel is per-document deterministic, so the QUERY path never
+    needs the rows grouped by bucket — shuffling the html payloads
+    here was pure overhead (guide §8: heavy opaque bytes must move at
+    most once, and for a read-compute-discard query they need not move
+    at all).  The exchange is kept ONLY when the input's partitioning
+    cannot feed every core (e.g. a single-split upstream scan); the
+    bucket-grouped layout the Iceberg-style sink wants is established
+    by ``run_extraction_job``'s own repartition before its partitioned
+    write, which is unchanged."""
     pruned = df.select("url", "html")  # never ship text/lang into the kernel (P3)
     bucketed = with_part_id(pruned, n_buckets)
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    shuffled = bucketed.repartition(parts, "part_id")
-    return shuffled.mapInPandas(
+    sc = df.sparkSession.sparkContext
+    try:
+        cur = bucketed.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning quirk: keep the shuffle
+        cur = 0
+    if cur < sc.defaultParallelism:
+        parts = num_partitions or sc.defaultParallelism
+        bucketed = bucketed.repartition(parts, "part_id")
+    return bucketed.mapInPandas(
         lambda it: _extract_batches(it, lineage_acc), schema=OUTPUT_DDL
     )
 

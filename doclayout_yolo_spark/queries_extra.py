@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from .scan import spread
+
 from .textfeat import KEYWORD_TABLE
 
 
@@ -611,7 +613,7 @@ FROM w LEFT JOIN hits ON w.window_id = hits.window_id
 
 
 def url_host_stats(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     url = F.expr(_URL_EXPR.format(str_t="STRING"))
     host = F.lower(F.regexp_extract(url, r"https?://([^/:?]+)", 1))
     path = F.regexp_extract(url, r"https?://[^/?]+(/[^?]*)", 1)

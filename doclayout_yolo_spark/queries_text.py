@@ -14,9 +14,13 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from .scan import spread
+
 
 def _docs(spark: SparkSession, sf_dir: str):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread: the single-row-group fixture file would otherwise put the
+    # whole tokenize/hash/regex map stage on one core (scan.py)
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _h64(col):

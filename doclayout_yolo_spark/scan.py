@@ -1,0 +1,43 @@
+"""Scan-parallelism floor for compute-heavy first stages.
+
+The bench's parquet inputs are single-file, single-ROW-GROUP tables
+(documents.parquet at sf1.0 is 5.9 MB / 1 row group), so a plain read
+yields ONE scan partition no matter what ``maxPartitionBytes`` /
+``minPartitionNum`` say — parquet splits land on row-group boundaries.
+Every query whose expensive work happens BEFORE its first exchange
+(tokenize + md5 signature aggregation, per-doc regex scoring, PDF /
+HTML fixture synthesis inside mapInPandas, embedding matmuls) then
+runs that work on one core of the 32 available.
+
+``spread`` is the optimization-guide §2.5 remedy ("input skew: one
+huge unsplittable file — repartition immediately after the read"),
+made scale-adaptive instead of constant-tuned: it repartitions to
+``defaultParallelism`` ONLY when the scan's own partition count is
+below it.  At production scale inputs are many splittable files and
+the scan already exceeds cluster parallelism, so this is a no-op —
+no extra exchange is ever added to a 100 TB read.  Locally the added
+exchange moves a few MB of pruned columns (Catalyst pushes projects
+below Repartition, so column pruning still reaches the scan) and buys
+a cores-wide first stage.
+
+Row values are untouched and every query downstream is
+partition-independent (no rand / monotonically_increasing_id /
+spark_partition_id anywhere in the query paths), so results are
+byte-identical with and without the repartition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to cluster parallelism iff its current
+    partitioning cannot feed every core (see module docstring)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning quirk: keep the plain scan
+        return df
+    return df.repartition(target) if cur < target else df

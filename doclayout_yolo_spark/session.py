@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # scan-parallelism floor (guide §6): derived from the session's
+        # core count, never a constant — locally it splits the 131 MB
+        # lineitem file across its 6 row groups instead of 2 x 128 MB
+        # splits; at production scale totalBytes/cores >> 128 MB so
+        # maxPartitionBytes governs and this floor is inert
+        .config("spark.sql.files.minPartitionNum", str(n_cores))
         # zstd: ~30% smaller than snappy on text-heavy columns at
         # comparable CPU — at 100 TB the scan is IO-bound, so this is
         # a direct throughput lever for downstream readers
