@@ -33,6 +33,7 @@ def main() -> None:
     args = sys.argv[1:]
     plans_dir = None
     suffix = "plan"
+    plans_only = False
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     names: list[str] = []
     it = iter(args)
@@ -43,6 +44,8 @@ def main() -> None:
             suffix = next(it)
         elif a == "--reps":
             reps = int(next(it))
+        elif a == "--plans-only":
+            plans_only = True
         elif a == "--all":
             names = list(ALL_QUERIES)
         else:
@@ -73,6 +76,8 @@ def main() -> None:
                 fn(spark, sf_dir).explain("formatted")
             with open(f"{plans_dir}/{name}_{suffix}.txt", "w") as f:
                 f.write(buf.getvalue())
+        if plans_only:
+            continue
         _force(fn(spark, sf_dir))  # warmup (catalyst + codegen)
         runs = []
         for _ in range(reps):

@@ -78,11 +78,21 @@ def _extract_one(url: str, raw: bytes, stage_acc: dict | None = None):
 
 
 def _extract_batches(batches, lineage_acc=None):
-    """mapInPandas kernel: iterator of Arrow batches of (url, html,
-    part_id) -> iterator of output batches.  One fused kernel per task,
-    mirroring the reference's single-predictor-per-worker pattern
-    (engine/predictor.py:112,218)."""
-    import pandas as pd  # noqa: PLC0415 — executor-side import
+    """mapInArrow kernel: iterator of Arrow record batches of (url,
+    html, part_id) -> iterator of output record batches.  One fused
+    kernel per task, mirroring the reference's
+    single-predictor-per-worker pattern (engine/predictor.py:112,218).
+
+    r6: Arrow-native on BOTH sides (was mapInPandas).  The old path
+    paid a pandas object-column round trip each way, and built spans
+    as per-row lists of dicts that pandas->Arrow coerced row by row —
+    the dominant non-compute cost of the flagship (guide §4.2: hand
+    whole batches to vectorized construction).  Spans are now built
+    once per batch from flat field lists via StructArray/
+    ListArray.from_arrays; url/html/part_id pass through as Arrow
+    columns.  Row values are identical — only the serialization path
+    changed (golden byte-identity + contract sweeps pin this)."""
+    import pyarrow as pa  # noqa: PLC0415 — executor-side import
 
     from pyspark import TaskContext  # noqa: PLC0415
 
@@ -94,43 +104,101 @@ def _extract_batches(batches, lineage_acc=None):
     # per-stage speed attribution (A11 / predictor.py:259-266 parity):
     # parse / detect / NMS / assemble wall seconds, summed per task
     stage_acc: dict = {}
-    for pdf in batches:
-        rows = {
-            "url": [], "part_id": [], "extracted_text": [], "spans": [],
-            "n_regions": [], "n_blocks": [], "page_h": [], "error": [],
-        }
-        raws = [
-            bytes(h) if h is not None else b"" for h in pdf["html"].to_numpy()
+    span_struct = pa.struct(
+        [
+            ("region_id", pa.int32()), ("cls", pa.int32()),
+            ("name", pa.string()), ("conf", pa.float64()),
+            ("x1", pa.float64()), ("y1", pa.float64()),
+            ("x2", pa.float64()), ("y2", pa.float64()),
+            ("start", pa.int32()), ("end", pa.int32()),
         ]
+    )
+    out_schema = pa.schema(
+        [
+            ("url", pa.string()), ("part_id", pa.int32()),
+            ("extracted_text", pa.string()),
+            ("spans", pa.list_(span_struct)),
+            ("n_regions", pa.int32()), ("n_blocks", pa.int32()),
+            ("page_h", pa.float64()), ("error", pa.string()),
+        ]
+    )
+    for rb in batches:
+        raws = [
+            h if h is not None else b""
+            for h in rb.column(rb.schema.get_field_index("html")).to_pylist()
+        ]
+        pid_col = rb.column(rb.schema.get_field_index("part_id"))
+        pids = pid_col.to_pylist()
         # one batched detector + NMS pass for the whole Arrow batch —
         # byte-identical to the per-doc path (extract.extract_documents),
         # ~1.4-16x the per-doc throughput depending on page size
         results = extract_documents(raws, stage_acc)
-        for url, part_id, raw, (text, regions, meta, err) in zip(
-            pdf["url"].to_numpy(), pdf["part_id"].to_numpy(), raws, results
+        texts: list[str] = []
+        errors: list[str | None] = []
+        nregs: list[int] = []
+        nblks: list[int] = []
+        pageh: list[float] = []
+        offsets: list[int] = [0]
+        f_rid: list[int] = []
+        f_cls: list[int] = []
+        f_name: list[str] = []
+        f_conf: list[float] = []
+        f_x1: list[float] = []
+        f_y1: list[float] = []
+        f_x2: list[float] = []
+        f_y2: list[float] = []
+        f_start: list[int] = []
+        f_end: list[int] = []
+        for raw, pid, (text, regions, meta, err) in zip(
+            raws, pids, results
         ):
-            rows["error"].append(err)
-            rows["url"].append(url)
-            rows["part_id"].append(int(part_id))
-            rows["extracted_text"].append(text)
-            rows["spans"].append(
-                [
-                    {
-                        "region_id": r.region_id, "cls": r.cls, "name": r.name,
-                        "conf": r.conf, "x1": r.x1, "y1": r.y1, "x2": r.x2,
-                        "y2": r.y2, "start": r.start, "end": r.end,
-                    }
-                    for r in regions
-                ]
-            )
-            rows["n_regions"].append(meta["n_regions"])
-            rows["n_blocks"].append(meta["n_blocks"])
-            rows["page_h"].append(meta["page_h"])
+            texts.append(text)
+            errors.append(err)
+            nregs.append(meta["n_regions"])
+            nblks.append(meta["n_blocks"])
+            pageh.append(meta["page_h"])
+            for r in regions:
+                f_rid.append(r.region_id)
+                f_cls.append(r.cls)
+                f_name.append(r.name)
+                f_conf.append(r.conf)
+                f_x1.append(r.x1)
+                f_y1.append(r.y1)
+                f_x2.append(r.x2)
+                f_y2.append(r.y2)
+                f_start.append(r.start)
+                f_end.append(r.end)
+            offsets.append(len(f_rid))
             n_docs += 1
             n_regions_total += meta["n_regions"]
             bytes_in += len(raw)
-            part_ids.add(int(part_id))
-        yield pd.DataFrame(rows)
+            part_ids.add(pid)
+        struct_arr = pa.StructArray.from_arrays(
+            [
+                pa.array(f_rid, pa.int32()), pa.array(f_cls, pa.int32()),
+                pa.array(f_name, pa.string()), pa.array(f_conf, pa.float64()),
+                pa.array(f_x1, pa.float64()), pa.array(f_y1, pa.float64()),
+                pa.array(f_x2, pa.float64()), pa.array(f_y2, pa.float64()),
+                pa.array(f_start, pa.int32()), pa.array(f_end, pa.int32()),
+            ],
+            fields=list(span_struct),
+        )
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), struct_arr
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                rb.column(rb.schema.get_field_index("url")).cast(pa.string()),
+                pid_col.cast(pa.int32()),
+                pa.array(texts, pa.string()),
+                spans_arr,
+                pa.array(nregs, pa.int32()),
+                pa.array(nblks, pa.int32()),
+                pa.array(pageh, pa.float64()),
+                pa.array(errors, pa.string()),
+            ],
+            schema=out_schema,
+        )
     if lineage_acc is not None and n_docs > 0:  # skip empty tasks
         tc = TaskContext.get()
         lineage_acc.add(
@@ -195,7 +263,7 @@ def extract_pages(
     if cur < sc.defaultParallelism:
         parts = num_partitions or sc.defaultParallelism
         bucketed = bucketed.repartition(parts, "part_id")
-    return bucketed.mapInPandas(
+    return bucketed.mapInArrow(
         lambda it: _extract_batches(it, lineage_acc), schema=OUTPUT_DDL
     )
 
@@ -308,7 +376,7 @@ def run_extraction_job(
         bucketed = bucketed.filter(bucket_filter)
 
     parts = num_partitions or sc.defaultParallelism
-    out = bucketed.repartition(parts, "part_id").mapInPandas(
+    out = bucketed.repartition(parts, "part_id").mapInArrow(
         lambda it: _extract_batches(it, lineage_acc), schema=OUTPUT_DDL
     )
     # Observation: the idiomatic Spark metrics hook — aggregates ride
@@ -410,7 +478,7 @@ def reprocess_stale_buckets(
         F.col("part_id").isin(stale)
     )
     parts = num_partitions or sc.defaultParallelism
-    out = bucketed.repartition(parts, "part_id").mapInPandas(
+    out = bucketed.repartition(parts, "part_id").mapInArrow(
         lambda it: _extract_batches(it, lineage_acc), schema=OUTPUT_DDL
     )
     (
@@ -498,7 +566,7 @@ def run_incremental_job(
         F.col("part_id").isin(stale)
     )
     parts = num_partitions or sc.defaultParallelism
-    out = bucketed.repartition(parts, "part_id").mapInPandas(
+    out = bucketed.repartition(parts, "part_id").mapInArrow(
         lambda it: _extract_batches(it, lineage_acc), schema=OUTPUT_DDL
     )
     (

@@ -20,7 +20,7 @@ from .scan import spread
 def _docs(spark: SparkSession, sf_dir: str):
     # spread: the single-row-group fixture file would otherwise put the
     # whole tokenize/hash/regex map stage on one core (scan.py)
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet")
 
 
 def _h64(col):
@@ -52,12 +52,23 @@ _CJK_CLASS = "[一-鿿぀-ヿ가-힯]"
 
 
 def _toks_spark(col: str = "text") -> str:
-    """Spark SQL expr: script-aware token array (non-empty tokens)."""
-    return (
+    """Spark SQL expr: script-aware token array (non-empty tokens).
+
+    r6: gated on ONE document-level CJK regex test — a doc with no CJK
+    codepoint cannot have a CJK token, so the common (Latin) case runs
+    a plain split+filter instead of a per-token RLIKE inside the
+    transform lambda.  Verified token-identical to the ungated form on
+    the full corpus (and the tokenize_mixed_script contract query pins
+    the CJK branch against DuckDB, whose expression is unchanged)."""
+    cjk_branch = (
         f"filter(flatten(transform(split({col}, '\\\\s+'), t -> "
         f"CASE WHEN t RLIKE '{_CJK_CLASS}' AND char_length(t) >= 2 "
         f"THEN transform(sequence(1, char_length(t) - 1), i -> substring(t, i, 2)) "
         f"ELSE array(t) END)), x -> char_length(x) > 0)"
+    )
+    return (
+        f"CASE WHEN {col} RLIKE '{_CJK_CLASS}' THEN {cjk_branch} "
+        f"ELSE filter(split({col}, '\\\\s+'), x -> char_length(x) > 0) END"
     )
 
 
@@ -785,6 +796,47 @@ FROM s
 SIMHASH_BITS = 16
 
 
+def _pos_sql(b: int, half: int) -> str:
+    """SQL for the predicate 's_b > 0' over the packed two-lane
+    ones-count aggregation: accumulator o_k (k = b mod half) holds
+    ones_k in its low 32 bits and ones_{k+half} in the high 32.
+    s_b = 2*ones_b - n, so the sign test is 2*ones_b > n_words.  Lane
+    capacity 2^31 rows per doc — unconditionally safe (a doc cannot
+    carry 2^31 distinct tokens), unlike narrower lanes.
+
+    These builders emit SQL STRINGS parsed by one F.expr call each
+    rather than chains of Column operators: the per-bit Column loops
+    cost ~1.8 s of driver-side Py4J chatter per query BUILD (measured
+    — and the bench protocol rebuilds the query inside every timed
+    run), vs ~40 ms for the string form.  Values are identical; the
+    full DuckDB sweep and an exceptAll A/B against the Column form
+    pin that."""
+    k = b % half
+    ones = (
+        f"shiftright(o{k}, 32)" if b >= half else f"(o{k} & 4294967295)"
+    )
+    return f"(2 * {ones} > nw)"
+
+
+def _packed_sums(hashed, bits: int, bit_sql):
+    """groupBy(doc_id) ones-count aggregation with two 32-bit lanes
+    per accumulator (r6, guide §2.3 'narrower types / smaller
+    aggregation state'): the old per-bit SUM(CASE WHEN ... 1 ELSE -1)
+    kept ``bits`` branchy buffer columns; this keeps bits/2 branchless
+    ones-counters plus COUNT(*).  Measured 2.25s -> 1.36s for the
+    64-bit signature stage at sf1.0/local[32]; bit-for-bit identical
+    signatures (s_b > 0 ⟺ 2*ones_b > n)."""
+    half = bits // 2
+    exprs = [
+        F.expr(
+            f"sum(cast({bit_sql(k)} as bigint)"
+            f" + shiftleft(cast({bit_sql(k + half)} as bigint), 32))"
+        ).alias(f"o{k}")
+        for k in range(half)
+    ]
+    return hashed.groupBy("doc_id").agg(F.count("*").alias("nw"), *exprs)
+
+
 def _simhash_df(spark, sf_dir, bits: int):
     d = _docs(spark, sf_dir)
     words = d.select(
@@ -792,19 +844,19 @@ def _simhash_df(spark, sf_dir, bits: int):
         F.explode(F.array_distinct(F.expr(_toks_spark("text")))).alias("word"),
     )
     hashed = words.select("doc_id", _h64(F.col("word")).alias("h"))
-    bit_sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(bits)
-        ]
+
+    def bit_sql(b):
+        return f"(shiftright(h, {b}) & 1)"
+
+    sums = _packed_sums(hashed, bits, bit_sql)
+    half = bits // 2
+    sim = " + ".join(
+        f"(CASE WHEN {_pos_sql(b, half)} THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
     )
-    sim = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return bit_sums.select("doc_id", sim.cast("bigint").alias("simhash"))
+    return sums.select(
+        "doc_id", F.expr(f"cast({sim} as bigint)").alias("simhash")
+    )
 
 
 def simhash(spark, sf_dir):
@@ -1182,28 +1234,33 @@ def _simhash64_df(spark, sf_dir):
         "doc_id", _h64(F.col("word")).alias("h1"), _h64b(F.col("word")).alias("h2")
     )
 
-    def bit_of(b):
+    def bit_sql(b):
         src, off = ("h1", b) if b < 60 else ("h2", b - 60)
-        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+        return f"(shiftright({src}, {off}) & 1)"
 
-    bit_sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(bit_of(b) == 1, 1).otherwise(-1)).alias(f"s{b}")
-            for b in range(64)
-        ]
+    # packed two-lane ones-count aggregation (see _packed_sums):
+    # 32 branchless accumulators + COUNT(*) replace 64 SUM(CASE) —
+    # the bit-sign predicates below are equivalent (2*ones_b > n).
+    # SQL-string expressions throughout: see _pos_sql on why.
+    sums = _packed_sums(hashed, 64, bit_sql)
+    # int64 min as (-(2^63-1) - 1): the bare literal would overflow
+    # Spark's unary-minus parse
+    sim = (
+        f"(CASE WHEN {_pos_sql(63, 32)}"
+        f" THEN cast(-9223372036854775807 as bigint) - 1 ELSE 0 END)"
+        + "".join(
+            f" + (CASE WHEN {_pos_sql(b, 32)} THEN {1 << b} ELSE 0 END)"
+            for b in range(63)
+        )
     )
-    sim = F.when(F.col("s63") > 0, F.lit(_I64_MIN)).otherwise(F.lit(0))
-    for b in range(63):
-        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    cols = [sim.cast("bigint").alias("simhash")]
+    cols = [F.expr(f"cast({sim} as bigint)").alias("simhash")]
     for k, (lo, hi) in enumerate(_SIM64_BLOCK_BOUNDS):
-        block = F.lit(0)
-        for j in range(hi - lo):
-            block = block + F.when(
-                F.col(f"s{lo + j}") > 0, F.lit(1 << j)
-            ).otherwise(F.lit(0))
-        cols.append(block.cast("bigint").alias(f"b{k}"))
-    return bit_sums.select("doc_id", *cols)
+        block = " + ".join(
+            f"(CASE WHEN {_pos_sql(lo + j, 32)} THEN {1 << j} ELSE 0 END)"
+            for j in range(hi - lo)
+        )
+        cols.append(F.expr(f"cast({block} as bigint)").alias(f"b{k}"))
+    return sums.select("doc_id", *cols)
 
 
 def _sim64_band_structs():
@@ -1212,17 +1269,14 @@ def _sim64_band_structs():
     single definition shared by every consumer so the Spark and DuckDB
     renderings can never drift independently (r5 review finding: this
     was inlined three times)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("band"),
-                (
-                    F.col(f"b{i}")
-                    + F.col(f"b{j}") * F.lit(1 << _SIM64_SHIFT)
-                ).cast("bigint").alias("bucket"),
-            )
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band', {t}, 'bucket',"
+            f" cast(b{i} + b{j} * {1 << _SIM64_SHIFT} as bigint))"
             for t, (i, j) in enumerate(_SIM64_BLOCK_PAIRS)
-        ]
+        )
+        + ")"
     )
 
 

@@ -21,7 +21,7 @@ N_QUERIES = 5  # vec_id < 5 are the query vectors
 
 
 def _emb(spark: SparkSession, sf_dir: str):
-    df = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    df = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), key=f"{sf_dir}/embeddings.parquet")
     return df.select(
         "vec_id",
         "label",
@@ -159,7 +159,7 @@ def multimodal_feature_extract(spark, sf_dir):
     shape of any decode->featurize stage (image color histograms,
     audio energy bands), computed in one Arrow-batched pass.  Output:
     doc_id, 16 bin counts, and the dominant nibble."""
-    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
 
@@ -212,7 +212,7 @@ FROM f
 
 
 def multimodal_decode_stub(spark, sf_dir):
-    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return d.mapInPandas(_decode_kernel, schema=DECODE_DDL)
@@ -249,7 +249,7 @@ def _ascii_payload(spark, sf_dir):
     ANY input text — without it, one multi-byte character silently
     desyncs chunk boundaries between the engines (DuckDB v1.0 has no
     BLOB substring/md5 to express the byte view directly)."""
-    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet")
     return d.select(
         "doc_id",
         F.encode(

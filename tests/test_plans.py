@@ -44,13 +44,13 @@ def test_extraction_query_path_shuffles_only_when_narrow(spark):
     plan = plan_of(extract_pages(wide, n_buckets=16))
     # the input repartition is the ONLY exchange; none added on top
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan  # r6: Arrow-native kernel boundary
 
     narrow = df.coalesce(1)
     plan = plan_of(extract_pages(narrow, n_buckets=16, num_partitions=4))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "REPARTITION_BY_NUM" in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_q1_predicate_pushdown(spark):
@@ -330,7 +330,7 @@ def test_curation_v3_single_extraction_bounded_plan(spark):
     from doclayout_yolo_spark.queries_text import corpus_curation_v3
 
     plan = plan_of(corpus_curation_v3(spark, SF_DIR), "simple")
-    assert plan.count("MapInPandas") == 1          # one extraction kernel
+    assert plan.count("MapInArrow") == 1           # one extraction kernel (r6: Arrow-native)
     assert "Scan ExistingRDD" in plan              # checkpointed labels
     assert plan.count("FileScan parquet") <= 6
     assert plan.count("\n") < 300                  # bounded, not exponential
@@ -409,6 +409,7 @@ def test_pagerank_recurrence_references_checkpointed_statics(spark):
 
     plan = plan_of(host_pagerank(spark, SF_DIR))
     assert "MapInPandas" not in plan
+    assert "MapInArrow" not in plan
     assert "parquet" not in plan.lower()
     assert "Scan ExistingRDD" in plan
     # ~5 exchange nodes per iteration (contrib shuffle + broadcasts);
