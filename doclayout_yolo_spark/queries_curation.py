@@ -1409,7 +1409,7 @@ LANG_TEMPERATURE_V2_SQL = _lang_temperature_v2_sql()
 
 
 def approx_distinct_accuracy(spark, sf_dir):
-    ev = spread(spark.read.parquet(f"{sf_dir}/events.parquet"), key=f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.groupBy("event_type")
         .agg(
@@ -1624,7 +1624,7 @@ FROM j
 
 
 def event_funnel(spark, sf_dir):
-    ev = spread(spark.read.parquet(f"{sf_dir}/events.parquet"), key=f"{sf_dir}/events.parquet").select(
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id",
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
@@ -1801,7 +1801,7 @@ CMS_SQL = _cms_sql()
 
 
 def approx_quantile_accuracy(spark, sf_dir):
-    ev = spread(spark.read.parquet(f"{sf_dir}/events.parquet"), key=f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.groupBy("event_type")
         .agg(

@@ -555,7 +555,7 @@ def range_join_clicks_in_window(spark, sf_dir):
     loop over broadcast ranges — the plan that works when the probe
     side is 10^12 rows (never a cross shuffle).  Output one row per
     window with click count + distinct clickers."""
-    ev = spread(spark.read.parquet(f"{sf_dir}/events.parquet"), key=f"{sf_dir}/events.parquet").select(
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id",
         "event_id",
         "event_type",
@@ -648,7 +648,7 @@ def event_props_json(spark, sf_dir):
     """JSON property extraction (the semi-structured leg every event
     pipeline has): pull props.k out of the JSON string column and
     aggregate per event type.  JVM-side get_json_object — no UDF."""
-    ev = spread(spark.read.parquet(f"{sf_dir}/events.parquet"), key=f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.get_json_object("props", "$.k").cast("long")
     return (
         ev.select("event_type", k.alias("k"))

@@ -387,8 +387,34 @@ def _capped_from(sh):
     return sh.join(F.broadcast(hot), "sh", "left_anti")
 
 
+_CAPPED_CACHE: dict = {}
+
+
 def _capped_shingles(spark, sf_dir):
-    return _capped_from(_shingles(spark, sf_dir))
+    """df-capped shingles, PERSISTED + memoized exactly like
+    ``_shingles`` (r6): the cap anti-join re-executed once per
+    consumer — dedup_jaccard_lsh alone reads it three times (per-doc
+    counts + both sides of the candidate-driven intersection) — so one
+    materialization saves N-1 passes over the corpus shingle table.
+    Same 100-TB story as the parent cache: stage the filtered shingle
+    table once, spill instead of recompute."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    from .memo import memo_lookup, source_mtime  # noqa: PLC0415
+
+    key, cached = memo_lookup(
+        _CAPPED_CACHE,
+        spark.sparkContext.applicationId,
+        sf_dir,
+        source_mtime(f"{sf_dir}/documents.parquet"),
+    )
+    if cached is not None:
+        return cached
+    built = _capped_from(_shingles(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _CAPPED_CACHE[key] = built
+    return built
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
