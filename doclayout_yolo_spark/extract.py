@@ -511,8 +511,21 @@ def parse_blocks(html: bytes | str) -> list[Block]:
 # quoted attribute values may contain '>' (same tolerance as the
 # block tokenizer _TAG_RE), and 'href' must begin an attribute
 # position so data-href/xlink:href can't shadow or fabricate the real
-# target (r5 second-pass review findings)
-_ATTRS = r"""((?:"[^"]*"|'[^']*'|[^>])*)"""
+# target (r5 second-pass review findings).
+# Quantifiers are POSSESSIVE (r6, advisor finding): the plain-greedy
+# form backtracks exponentially on an unterminated tag containing
+# quotes and no '>' (measured 10.5 s at 34 quotes, ~2.5x per +2 —
+# one corrupt crawl page pins an executor core forever, and the
+# per-doc quarantine wrapper cannot catch a hang).  The bare ["']
+# branch keeps the old tolerance for a stray unpaired quote (the
+# quoted-string branches are tried first, so well-formed values are
+# consumed whole).  Sole behavioral delta vs the greedy original: a
+# tag whose attrs hold an unterminated quote whose closing partner
+# appears only AFTER a '>' no longer "rescues" a garbled match by
+# re-splitting the quoted span — it simply doesn't parse as a tag
+# (strictly more conservative on corrupt input; all fixtures and
+# oracles unaffected — pinned by the regression test).
+_ATTRS = r"""((?:"[^"]*+"|'[^']*+'|[^>"']++|["'])*+)"""
 _A_TAG_RE = re.compile(r"<\s*a\s" + _ATTRS + ">", re.I | re.S)
 _BASE_TAG_RE = re.compile(r"<\s*base\s" + _ATTRS + ">", re.I | re.S)
 _HREF_RE = re.compile(

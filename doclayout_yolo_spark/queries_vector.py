@@ -20,8 +20,17 @@ TOPK = 3
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 
 
-def _emb(spark: SparkSession, sf_dir: str):
-    df = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), key=f"{sf_dir}/embeddings.parquet")
+def _emb(spark: SparkSession, sf_dir: str, wide: bool = True):
+    """``wide=True`` spreads the single-row-group scan (scan.py) — a
+    measured win for the matmul-kernel consumers (ann_cosine_topk
+    0.57 vs 1.32 s, ann_ivf 1.37 vs 1.92 s steady at sf1.0).  The
+    planted-pair LSH path passes ``wide=False``: its per-row work is
+    light and the extra exchange measured a net LOSS at both scales
+    (ann_lsh_multiband 0.92 vs 1.51 s at sf0.1, 3.14 vs 3.41 at
+    sf1.0)."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if wide:
+        df = spread(df, key=f"{sf_dir}/embeddings.parquet")
     return df.select(
         "vec_id",
         "label",
@@ -533,7 +542,9 @@ _JITTER_SPARK = (
 
 
 def _planted_emb(spark, sf_dir):
-    emb = _emb(spark, sf_dir).select("vec_id", "vec")
+    # wide=False: see _emb — the planted-LSH consumers measured a net
+    # loss from the scan-spread exchange at both scales
+    emb = _emb(spark, sf_dir, wide=False).select("vec_id", "vec")
     planted = emb.filter(F.col("vec_id") < PLANT_N).select(
         (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
         F.expr(_JITTER_SPARK).alias("vec"),

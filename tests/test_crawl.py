@@ -416,3 +416,40 @@ def test_parse_crawl_delay_rejects_nan():
 
     assert parse_crawl_delay("User-agent: *\nCrawl-delay: nan") == 1.0
     assert parse_crawl_delay("User-agent: *\nCrawl-delay: inf") == 3600.0
+
+
+def test_attrs_regex_no_redos_on_unterminated_quoted_tag():
+    # r5 advisor finding: the greedy _ATTRS form backtracked
+    # exponentially on an unterminated tag containing quotes and no
+    # '>' (measured 10.5 s at 34 quotes, ~2.5x per +2 quotes) —
+    # one corrupt crawl page pinned an executor core forever.  The
+    # possessive form must stay linear; 60 quotes would take ~years
+    # under the old regex.
+    import time
+
+    from doclayout_yolo_spark.extract import (
+        extract_outlinks,
+        extract_page_metadata,
+    )
+
+    evil = "<html><body><a href=\"x\" " + '"y=z' * 60  # never closed
+    t0 = time.time()
+    links = extract_outlinks("https://h.example/", evil)
+    assert time.time() - t0 < 1.0
+    assert links == []
+    evil_meta = "<html><base " + '"a' * 60 + "<meta " + "'b" * 60
+    t0 = time.time()
+    md = extract_page_metadata("https://h.example/", evil_meta)
+    assert time.time() - t0 < 1.0
+    assert md["canonical"] is None
+    # tolerance for a stray unpaired quote is retained: the quoted '>'
+    # and the bare-quote rescue both still parse
+    page = (
+        '<html><body><a data-x="v>w" href="/rel">t</a>'
+        "<a x=' href='/decoy' href=\"/real\">t</a></body></html>"
+    )
+    out = extract_outlinks("https://h.example/p/", page)
+    # second tag: the ' after x= opens a quoted span covering the first
+    # href; the surviving href is /decoy — identical to the pre-fix
+    # greedy behavior (parity pinned here)
+    assert out == ["https://h.example/rel", "https://h.example/decoy"]
