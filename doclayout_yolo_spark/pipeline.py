@@ -6,7 +6,7 @@ Plan (SURVEY §3.1 Spark rendering):
       -> withColumn(part_id = pmod(xxhash64(url), n_buckets))
       -> [resume] LEFT ANTI JOIN manifest ON part_id   # exactly-once, P13
       -> repartition(P, part_id)                # explicit shuffle, P8
-      -> mapInPandas(extract_kernel)            # fused Arrow kernel, P1/P11
+      -> mapInArrow(extract_kernel)             # fused Arrow kernel, P1/P11
       -> write parquet partitioned by part_id   # Iceberg-analog sink
     + per-task lineage rows via accumulator -> lineage parquet
     + manifest rows (one per completed bucket) -> manifest parquet
