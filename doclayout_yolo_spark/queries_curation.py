@@ -22,7 +22,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .scan import spread
+from .scan import read_parquet, spread
 
 # engine-agnostic 60-bit md5 hash (see duckdb-spark parity rules)
 _H_SPARK = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
@@ -31,7 +31,7 @@ _H_DUCK = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
 def _docs(spark: SparkSession, sf_dir: str):
     # spread: single-row-group fixture file — keep the map stage wide
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet")
+    return spread(read_parquet(spark, f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet")
 
 
 # --- paragraph-level (chunk-hash) dedup --------------------------------------
@@ -739,7 +739,7 @@ def bpe_learn_merges(spark, sf_dir):
     tests/test_curation.py; the contract oracle is the planted
     sentence's merge table with counts scaling by COUNT(documents).
     """
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     words = (
         d.select(F.explode(F.split(F.lit(BPE_SENT), " ")).alias("w"))
         .groupBy("w")
@@ -1409,7 +1409,7 @@ LANG_TEMPERATURE_V2_SQL = _lang_temperature_v2_sql()
 
 
 def approx_distinct_accuracy(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     return (
         ev.groupBy("event_type")
         .agg(
@@ -1624,7 +1624,7 @@ FROM j
 
 
 def event_funnel(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
         "user_id",
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
@@ -1801,7 +1801,7 @@ CMS_SQL = _cms_sql()
 
 
 def approx_quantile_accuracy(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     return (
         ev.groupBy("event_type")
         .agg(

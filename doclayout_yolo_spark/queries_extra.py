@@ -8,13 +8,13 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .scan import spread
+from .scan import read_parquet, spread
 
 from .textfeat import KEYWORD_TABLE
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 # --- CUBE aggregation ---------------------------------------------------------
@@ -555,7 +555,7 @@ def range_join_clicks_in_window(spark, sf_dir):
     loop over broadcast ranges — the plan that works when the probe
     side is 10^12 rows (never a cross shuffle).  Output one row per
     window with click count + distinct clickers."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
         "user_id",
         "event_id",
         "event_type",
@@ -613,7 +613,7 @@ FROM w LEFT JOIN hits ON w.window_id = hits.window_id
 
 
 def url_host_stats(spark, sf_dir):
-    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet")
+    d = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet")
     url = F.expr(_URL_EXPR.format(str_t="STRING"))
     host = F.lower(F.regexp_extract(url, r"https?://([^/:?]+)", 1))
     path = F.regexp_extract(url, r"https?://[^/?]+(/[^?]*)", 1)
@@ -648,7 +648,7 @@ def event_props_json(spark, sf_dir):
     """JSON property extraction (the semi-structured leg every event
     pipeline has): pull props.k out of the JSON string column and
     aggregate per event type.  JVM-side get_json_object — no UDF."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     k = F.get_json_object("props", "$.k").cast("long")
     return (
         ev.select("event_type", k.alias("k"))

@@ -16,9 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from .scan import read_parquet
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _dec(c):
@@ -522,7 +524,7 @@ def sql_api_region_revenue(spark, sf_dir):
     the ANSI-portable subset: one string, two engines, identical value
     hashes."""
     for t in ("region", "nation", "customer", "supplier", "orders", "lineitem"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        read_parquet(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     return spark.sql(Q5_SQL)
 
 

@@ -14,13 +14,13 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .scan import spread
+from .scan import read_parquet, spread
 
 
 def _docs(spark: SparkSession, sf_dir: str):
     # spread: the single-row-group fixture file would otherwise put the
     # whole tokenize/hash/regex map stage on one core (scan.py)
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet")
+    return spread(read_parquet(spark, f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet")
 
 
 def _h64(col):
@@ -1805,7 +1805,7 @@ def stratified_sample(spark, sf_dir):
     that's a straggler at 100 TB; the global top-k is a subset of the
     union of per-partition top-k's, so the output is unchanged (same
     oracle)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
         "event_type",
         "event_id",
         "value",

@@ -14,7 +14,7 @@ import numpy as np
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .scan import spread
+from .scan import read_parquet, spread
 
 TOPK = 3
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -28,7 +28,7 @@ def _emb(spark: SparkSession, sf_dir: str, wide: bool = True):
     light and the extra exchange measured a net LOSS at both scales
     (ann_lsh_multiband 0.92 vs 1.51 s at sf0.1, 3.14 vs 3.41 at
     sf1.0)."""
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     if wide:
         df = spread(df, key=f"{sf_dir}/embeddings.parquet")
     return df.select(
@@ -168,7 +168,7 @@ def multimodal_feature_extract(spark, sf_dir):
     shape of any decode->featurize stage (image color histograms,
     audio energy bands), computed in one Arrow-batched pass.  Output:
     doc_id, 16 bin counts, and the dominant nibble."""
-    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet").select(
+    d = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
 
@@ -221,7 +221,7 @@ FROM f
 
 
 def multimodal_decode_stub(spark, sf_dir):
-    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet").select(
+    d = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return d.mapInPandas(_decode_kernel, schema=DECODE_DDL)
@@ -258,7 +258,7 @@ def _ascii_payload(spark, sf_dir):
     ANY input text — without it, one multi-byte character silently
     desyncs chunk boundaries between the engines (DuckDB v1.0 has no
     BLOB substring/md5 to express the byte view directly)."""
-    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet")
+    d = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"), key=f"{sf_dir}/documents.parquet")
     return d.select(
         "doc_id",
         F.encode(
